@@ -1,0 +1,184 @@
+"""Frozen-dataclass configuration for the whole framework.
+
+The reference keeps hyperparameters in a single params dict / config.json
+passed to tf.estimator (SURVEY.md §2 "Config" row, §5 "Config / flag
+system"). We use typed frozen dataclasses instead — hashable, so they can be
+closed over by jitted functions as static configuration without retracing
+surprises, and self-documenting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Backbone + FPN + keypoint subnet (SURVEY.md §2 rows: Backbone, FPN
+    neck, Keypoint subnet)."""
+
+    num_keypoints: int = 17
+    # MobileNet-v1 style depthwise-separable backbone.
+    backbone_width: float = 1.0
+    min_backbone_channels: int = 8
+    # FPN lateral/common width (SURVEY.md: 64–128ch; we use 128 — one full
+    # TPU lane register, keeps every 1x1 conv MXU-aligned).
+    fpn_channels: int = 128
+    # Keypoint subnet per-level conv channels.
+    head_channels: int = 128
+    # Heatmap output stride relative to the input image.
+    output_stride: int = 4
+    # Emit an auxiliary 1-channel person segmentation output (PAPER §3.2).
+    with_segmentation: bool = True
+    # BatchNorm hyperparameters (tracked for TF-parity; SURVEY.md §7 hard
+    # part 3 — one documented convention).
+    bn_momentum: float = 0.997
+    bn_epsilon: float = 1e-3
+    # Compute dtype for inference ("bfloat16" on TPU, "float32" for parity
+    # tests). Parameters always live in float32.
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """RetinaNet-style single-class person detector head (SURVEY.md §2
+    "Person detector head" row; PAPER §3.1)."""
+
+    # FPN levels used for detection anchors (strides 8..128).
+    min_level: int = 3
+    max_level: int = 7
+    num_scales: int = 3
+    aspect_ratios: tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_base_scale: float = 4.0
+    head_channels: int = 128
+    num_convs: int = 4
+    # Focal loss.
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # Box regression loss weight.
+    box_loss_weight: float = 50.0
+    # Matching thresholds for anchor assignment.
+    match_high: float = 0.5
+    match_low: float = 0.4
+    # Inference-time decoding (fixed shapes — XLA friendly).
+    pre_nms_top_k: int = 1000
+    max_detections: int = 32
+    nms_iou_threshold: float = 0.5
+    score_threshold: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class PRNConfig:
+    """Pose Residual Network (SURVEY.md §2 "PRN" row; PAPER §3.3): crop the
+    17ch heatmap inside each person box, resize to a fixed grid, 1 hidden FC
+    with residual add, per-channel spatial softmax."""
+
+    # Fixed crop grid (PAPER: height 56 x width 36).
+    crop_height: int = 56
+    crop_width: int = 36
+    hidden_units: int = 1024
+    # Static max persons per image — dynamic person count is padded to this
+    # with validity masks (SURVEY.md §7 hard part 2).
+    max_persons: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Heatmap decoding (SURVEY.md §3.4 DECODE block): Gaussian smoothing →
+    peak NMS → channelwise top-k → sub-pixel refinement."""
+
+    # Gaussian smoothing kernel (reference uses scipy.ndimage.gaussian_filter).
+    smooth_sigma: float = 1.0
+    smooth_kernel_size: int = 7
+    # Peak NMS window (maximum_filter footprint).
+    nms_window: int = 3
+    # Per-channel candidate peaks kept.
+    max_peaks_per_channel: int = 8
+    # Minimum peak score.
+    score_threshold: float = 0.2
+    # Sub-pixel shift magnitude toward the larger neighbor (¼ px).
+    subpixel_shift: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training harness (SURVEY.md §2 "Training harness" row)."""
+
+    image_size: int = 512
+    batch_size: int = 64
+    num_steps: int = 150_000
+    learning_rate: float = 1e-3
+    end_learning_rate: float = 1e-5
+    warmup_steps: int = 1_000
+    weight_decay: float = 1e-5
+    ema_decay: float = 0.999  # eval/export uses EMA weights (author invariant)
+    gradient_clip_norm: float = 10.0
+    # Loss weights.
+    heatmap_loss_weight: float = 1.0
+    segmentation_loss_weight: float = 1.0
+    detector_loss_weight: float = 1.0
+    # Checkpointing (Orbax).
+    checkpoint_dir: str = "/tmp/multiposenet_tpu/checkpoints"
+    save_interval_steps: int = 1_000
+    max_to_keep: int = 3
+    log_interval_steps: int = 100
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh (SURVEY.md §5 "Distributed communication backend"): a 1-D
+    'data' mesh; DP is the only strategy meaningful for a ~5M-param CNN at
+    512x512. The mesh abstraction is the extension point for DCN scales."""
+
+    data_axis: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    detector: DetectorConfig = DetectorConfig()
+    prn: PRNConfig = PRNConfig()
+    decode: DecodeConfig = DecodeConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        def build(dc_cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {dc_cls.__name__}.{k}")
+                f = fields[k]
+                if dataclasses.is_dataclass(f.type) or (
+                    isinstance(f.default, tuple) and isinstance(v, list)
+                ):
+                    v = tuple(v) if isinstance(v, list) else v
+                kwargs[k] = v
+            return dc_cls(**kwargs)
+
+        return cls(
+            model=build(ModelConfig, d.get("model", {})),
+            detector=build(DetectorConfig, d.get("detector", {})),
+            prn=build(PRNConfig, d.get("prn", {})),
+            decode=build(DecodeConfig, d.get("decode", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            mesh=build(MeshConfig, d.get("mesh", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))

@@ -1,0 +1,157 @@
+"""MobileNet-v1-style depthwise-separable backbone (flax, NHWC).
+
+Reference counterpart: `detector/backbone.py` — "MobileNet depthwise-separable
+backbone" (SURVEY.md §2 "Backbone" row; BASELINE.json north star). The
+reference builds a TF1 graph of conv-dw 3x3 + conv-pw 1x1 blocks with BN and
+ReLU6, strides to /32, exposing multi-scale features C2..C5.
+
+TPU-first design notes:
+  * NHWC layout throughout — XLA's preferred convolution layout on TPU; the
+    1x1 pointwise convs lower to MXU matmuls over the channel axis.
+  * Channel widths are multiples of 8 (and ≥128 at the deep levels), keeping
+    lane tiling dense for both fp32 (8,128) and bf16 (16,128) tiles.
+  * `compute_dtype` lets inference run the whole conv stack in bfloat16 while
+    parameters stay float32 (params cast at use; XLA fuses the casts).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """Round channel counts like the standard MobileNet width multiplier."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class ConvBNRelu6(nn.Module):
+    """Conv → BatchNorm → ReLU6, the MobileNet building block."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    groups: int = 1
+    bn_momentum: float = 0.997
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return jnp.minimum(nn.relu(x), jnp.asarray(6.0, x.dtype))
+
+
+class DepthwiseSeparable(nn.Module):
+    """conv-dw 3x3 + conv-pw 1x1 (each with BN + ReLU6)."""
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    bn_momentum: float = 0.997
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = ConvBNRelu6(
+            in_ch,
+            kernel=(3, 3),
+            strides=self.strides,
+            groups=in_ch,
+            bn_momentum=self.bn_momentum,
+            bn_epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x, train=train)
+        x = ConvBNRelu6(
+            self.features,
+            kernel=(1, 1),
+            bn_momentum=self.bn_momentum,
+            bn_epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x, train=train)
+        return x
+
+
+# (features, stride) per depthwise-separable block; taps mark C2..C5 outputs.
+_MOBILENET_V1_BLOCKS: Sequence[tuple[int, int]] = (
+    (64, 1),
+    (128, 2),
+    (128, 1),   # -> C2 (stride 4)
+    (256, 2),
+    (256, 1),   # -> C3 (stride 8)
+    (512, 2),
+    (512, 1), (512, 1), (512, 1), (512, 1), (512, 1),  # -> C4 (stride 16)
+    (1024, 2),
+    (1024, 1),  # -> C5 (stride 32)
+)
+_TAP_AFTER = {2: "C2", 4: "C3", 10: "C4", 12: "C5"}
+
+
+class MobileNetV1(nn.Module):
+    """MobileNet-v1 feature extractor returning {'C2','C3','C4','C5'}.
+
+    Strides: C2=/4, C3=/8, C4=/16, C5=/32 relative to the input image.
+    """
+
+    width: float = 1.0
+    min_channels: int = 8
+    bn_momentum: float = 0.997
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> dict[str, jnp.ndarray]:
+        def ch(c: int) -> int:
+            return max(self.min_channels, _make_divisible(c * self.width))
+
+        x = x.astype(self.dtype)
+        x = ConvBNRelu6(
+            ch(32),
+            kernel=(3, 3),
+            strides=(2, 2),
+            bn_momentum=self.bn_momentum,
+            bn_epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            name="stem",
+        )(x, train=train)
+
+        features: dict[str, jnp.ndarray] = {}
+        for i, (c, s) in enumerate(_MOBILENET_V1_BLOCKS):
+            x = DepthwiseSeparable(
+                ch(c),
+                strides=(s, s),
+                bn_momentum=self.bn_momentum,
+                bn_epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, train=train)
+            tap = _TAP_AFTER.get(i)
+            if tap is not None:
+                features[tap] = x
+        return features

@@ -1,0 +1,100 @@
+"""On-device image preprocessing: resize + pad + per-channel normalize.
+
+Reference counterpart: host-side PIL/cv2/tf.image preprocessing
+(SURVEY.md §3.4 step 1: "resize so min-side≈512 / pad to x stride,
+normalize"). BASELINE.json's north star mandates a "fused image input path
+(JPEG decode, resize, per-channel normalize)": JPEG entropy decode stays on
+the host (no TPU JPEG unit), but the uint8 pixels are donated to the device
+and everything after — resize, pad, normalize, dtype cast — runs inside the
+same XLA program as the network forward, eliminating the reference's host
+preprocessing round-trip.
+
+Convention: images are resized with a single scale factor
+`s = target / max(h, w)` (aspect preserved), bilinearly, then zero-padded
+bottom/right to (target, target). Predictions map back with
+`coords_original = coords_model / s`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from multiposenet_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+
+def normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [.., 3] pixels in [0, 255] → ImageNet-normalized float32."""
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (x - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("target_size",))
+def resize_pad_normalize(
+    image: jnp.ndarray, target_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One uint8 [H, W, 3] image → ([target, target, 3] float32, scale).
+
+    Returns the normalized padded image and the scalar scale factor applied
+    (model coords = original coords * scale). The resize output shape must be
+    static under jit, so we resize to (target, target) *then* mask off the
+    region beyond the aspect-preserving extent — same arithmetic as
+    resize-to-(round(h*s), round(w*s))-then-pad but with fixed shapes.
+    """
+    h, w = image.shape[0], image.shape[1]
+    scale = target_size / jnp.maximum(h, w).astype(jnp.float32)
+    # Aspect-preserving extent inside the padded square.
+    out_h = jnp.round(h * scale).astype(jnp.int32)
+    out_w = jnp.round(w * scale).astype(jnp.int32)
+
+    # Bilinear sample on a fixed (target, target) grid; out-of-extent pixels
+    # are zeroed. Grid positions use the half-pixel convention of
+    # jax.image.resize(method='linear').
+    yy = (jnp.arange(target_size, dtype=jnp.float32) + 0.5) * (
+        h / jnp.maximum(out_h.astype(jnp.float32), 1.0)
+    ) - 0.5
+    xx = (jnp.arange(target_size, dtype=jnp.float32) + 0.5) * (
+        w / jnp.maximum(out_w.astype(jnp.float32), 1.0)
+    ) - 0.5
+    img = image.astype(jnp.float32)
+    sampled = _bilinear_sample_2d(img, yy, xx)
+
+    row_valid = jnp.arange(target_size) < out_h
+    col_valid = jnp.arange(target_size) < out_w
+    mask = (row_valid[:, None] & col_valid[None, :])[..., None]
+    sampled = jnp.where(mask, sampled, 0.0)
+    return normalize(sampled), scale
+
+
+def _bilinear_sample_2d(
+    img: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample img[H, W, C] at the outer product of row coords yy and col
+    coords xx (border-clamped bilinear)."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.clip(jnp.floor(yy), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xx), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(yy - y0, 0.0, 1.0)
+    wx = jnp.clip(xx - x0, 0.0, 1.0)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+
+    top = img[y0i][:, x0i] * (1 - wx)[None, :, None] + (
+        img[y0i][:, x1i] * wx[None, :, None]
+    )
+    bot = img[y1i][:, x0i] * (1 - wx)[None, :, None] + (
+        img[y1i][:, x1i] * wx[None, :, None]
+    )
+    return top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def normalize_batch(images: jnp.ndarray) -> jnp.ndarray:
+    """Donated uint8 [B, H, W, 3] batch → normalized float32 (fixed size)."""
+    return normalize(images)

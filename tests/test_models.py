@@ -1,0 +1,133 @@
+"""Shape/dtype/jit invariance tests for the model stack (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiposenet_tpu.config import Config, ModelConfig
+from multiposenet_tpu.models.fpn import FPN, nearest_upsample_2x
+from multiposenet_tpu.models.keypoint_head import KeypointHead
+from multiposenet_tpu.models.mobilenet import MobileNetV1
+from multiposenet_tpu.models.posenet import MultiPoseNet
+from multiposenet_tpu.models.prn import PRN
+
+SIZE = 128  # small image keeps CPU tests fast; strides still exact
+
+
+def test_nearest_upsample_2x():
+    x = jnp.arange(2 * 3 * 4 * 5, dtype=jnp.float32).reshape(2, 3, 4, 5)
+    up = nearest_upsample_2x(x)
+    assert up.shape == (2, 6, 8, 5)
+    np.testing.assert_array_equal(np.asarray(up)[:, ::2, ::2], np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(up)[:, 1::2, 1::2], np.asarray(x))
+
+
+def test_backbone_feature_strides():
+    model = MobileNetV1(width=0.25)
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x)
+    assert feats["C2"].shape[1:3] == (SIZE // 4, SIZE // 4)
+    assert feats["C3"].shape[1:3] == (SIZE // 8, SIZE // 8)
+    assert feats["C4"].shape[1:3] == (SIZE // 16, SIZE // 16)
+    assert feats["C5"].shape[1:3] == (SIZE // 32, SIZE // 32)
+
+
+def test_fpn_levels_and_width():
+    feats = {
+        "C2": jnp.zeros((1, 32, 32, 16)),
+        "C3": jnp.zeros((1, 16, 16, 32)),
+        "C4": jnp.zeros((1, 8, 8, 64)),
+        "C5": jnp.zeros((1, 4, 4, 128)),
+    }
+    fpn = FPN(channels=64)
+    variables = fpn.init(jax.random.PRNGKey(0), feats)
+    p = fpn.apply(variables, feats)
+    assert set(p) == {"P2", "P3", "P4", "P5", "P6", "P7"}
+    assert p["P2"].shape == (1, 32, 32, 64)
+    assert p["P5"].shape == (1, 4, 4, 64)
+    assert p["P6"].shape == (1, 2, 2, 64)
+    assert p["P7"].shape == (1, 1, 1, 64)
+
+
+def test_keypoint_head_output():
+    pyramid = {
+        "P2": jnp.zeros((2, 32, 32, 64)),
+        "P3": jnp.zeros((2, 16, 16, 64)),
+        "P4": jnp.zeros((2, 8, 8, 64)),
+        "P5": jnp.zeros((2, 4, 4, 64)),
+    }
+    head = KeypointHead(num_keypoints=17, channels=64)
+    variables = head.init(jax.random.PRNGKey(0), pyramid)
+    out = head.apply(variables, pyramid)
+    assert out["heatmaps"].shape == (2, 32, 32, 17)
+    assert out["segmentation"].shape == (2, 32, 32, 1)
+
+
+def _tiny_config():
+    return Config(
+        model=ModelConfig(
+            backbone_width=0.25, fpn_channels=32, head_channels=32
+        )
+    )
+
+
+def test_posenet_joint_forward():
+    cfg = _tiny_config()
+    model = MultiPoseNet(config=cfg, with_detector=True)
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["heatmaps"].shape == (1, SIZE // 4, SIZE // 4, 17)
+    assert out["heatmaps"].dtype == jnp.float32
+    det = out["detector"]
+    assert set(det) == {"P3", "P4", "P5", "P6", "P7"}
+    a = cfg.detector.num_scales * len(cfg.detector.aspect_ratios)
+    assert det["P3"]["cls"].shape == (1, SIZE // 8, SIZE // 8, a)
+    assert det["P3"]["box"].shape == (1, SIZE // 8, SIZE // 8, a * 4)
+
+
+def test_posenet_bf16_compute():
+    cfg = Config(
+        model=ModelConfig(
+            backbone_width=0.25, fpn_channels=32, head_channels=32,
+            compute_dtype="bfloat16",
+        )
+    )
+    model = MultiPoseNet(config=cfg, with_detector=False)
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # Params stay fp32; outputs are cast back to fp32 for decode.
+    assert out["heatmaps"].dtype == jnp.float32
+    leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_posenet_batchnorm_train_mode_updates_stats():
+    cfg = _tiny_config()
+    model = MultiPoseNet(config=cfg, with_detector=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, SIZE, SIZE, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in mutated
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(b), np.asarray(a))
+        for b, a in zip(before, after)
+    )
+
+
+def test_prn_shapes_and_softmax():
+    prn = PRN(crop_height=28, crop_width=18, num_keypoints=17,
+              hidden_units=64)
+    crops = jax.random.normal(jax.random.PRNGKey(0), (4, 28, 18, 17))
+    variables = prn.init(jax.random.PRNGKey(1), crops)
+    out = prn.apply(variables, crops)
+    assert out.shape == (4, 28, 18, 17)
+    sums = np.asarray(out).reshape(4, -1, 17).sum(axis=1)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)

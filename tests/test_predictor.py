@@ -1,0 +1,68 @@
+"""End-to-end predictor slice (judged config #1: single-image keypoint
+inference on CPU) with random weights + synthetic image (SURVEY.md §7 build
+order stage 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiposenet_tpu.config import Config, DecodeConfig, ModelConfig
+from multiposenet_tpu.infer.predictor import Predictor
+from multiposenet_tpu.ops.image import resize_pad_normalize
+from multiposenet_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
+
+
+def tiny_predictor(image_size=128):
+    cfg = Config(
+        model=ModelConfig(
+            backbone_width=0.25, fpn_channels=32, head_channels=32
+        ),
+        decode=DecodeConfig(max_peaks_per_channel=4, score_threshold=1e9),
+    )
+    return Predictor(config=cfg, image_size=image_size)
+
+
+def test_resize_pad_normalize_square():
+    img = np.full((64, 64, 3), 255, dtype=np.uint8)
+    out, scale = resize_pad_normalize(jnp.asarray(img), 128)
+    assert out.shape == (128, 128, 3)
+    assert float(scale) == 2.0
+    want = (1.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(np.asarray(out)[0, 0], want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[127, 127], want, rtol=1e-5)
+
+
+def test_resize_pad_normalize_aspect():
+    img = np.full((50, 100, 3), 255, dtype=np.uint8)
+    out, scale = resize_pad_normalize(jnp.asarray(img), 128)
+    assert float(scale) == pytest.approx(128 / 100, rel=1e-6)
+    arr = np.asarray(out)
+    # Rows beyond round(50 * 1.28) = 64 are padding → normalized zeros.
+    pad_val = (0.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(arr[64:], np.broadcast_to(pad_val, arr[64:].shape), rtol=1e-5)
+    want = (1.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(arr[0, 0], want, rtol=1e-4)
+
+
+def test_predict_heatmaps_shapes():
+    pred = tiny_predictor(image_size=128)
+    img = np.random.RandomState(0).randint(
+        0, 255, (97, 113, 3), dtype=np.uint8
+    )
+    hm = pred.predict_heatmaps(img)
+    assert hm.shape == (32, 32, 17)
+    assert np.isfinite(hm).all()
+
+
+def test_predict_keypoints_original_coords():
+    pred = tiny_predictor(image_size=128)
+    img = np.random.RandomState(1).randint(
+        0, 255, (256, 192, 3), dtype=np.uint8
+    )
+    positions, scores, valid = pred.predict_keypoints(img)
+    assert positions.shape == (17, 4, 2)
+    assert scores.shape == (17, 4)
+    # Random weights + absurd threshold → nothing valid, but coordinates must
+    # still be inside the original image extent after rescale.
+    assert not valid.any()
+    assert np.isfinite(positions).all()
