@@ -1,0 +1,77 @@
+"""Pallas decode kernel parity vs the jnp reference implementation.
+
+SURVEY.md §4: "every Pallas kernel gets an interpret=True CPU test against
+the jnp reference implementation on random inputs."
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiposenet_tpu.config import DecodeConfig
+from multiposenet_tpu.ops import decode as decode_jnp
+from multiposenet_tpu.ops.decode_pallas import (
+    decode_heatmaps_pallas,
+    smoothing_matrix,
+)
+
+
+def test_smoothing_matrix_matches_conv():
+    """Banded-matrix blur == separable conv blur (the MXU trick is exact)."""
+    rng = np.random.RandomState(0)
+    hm = rng.rand(1, 32, 128, 2).astype(np.float32)
+    sigma, size = 1.0, 7
+    want = np.asarray(decode_jnp.gaussian_smooth(jnp.asarray(hm), sigma, size))
+    sh = smoothing_matrix(32, sigma, size)
+    sw = smoothing_matrix(128, sigma, size)
+    for c in range(2):
+        got = sh @ hm[0, :, :, c] @ sw
+        np.testing.assert_allclose(got, want[0, :, :, c], rtol=1e-4,
+                                   atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 128, 3), (1, 128, 128, 17)])
+def test_pallas_decode_matches_jnp(shape):
+    rng = np.random.RandomState(1)
+    hm = rng.rand(*shape).astype(np.float32)
+    cfg = DecodeConfig(max_peaks_per_channel=6, score_threshold=0.3)
+    want = decode_jnp.decode_heatmaps(jnp.asarray(hm), cfg)
+    got = decode_heatmaps_pallas(jnp.asarray(hm), cfg, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.scores)[v], np.asarray(want.scores)[v],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.positions)[v], np.asarray(want.positions)[v],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pallas_decode_planted_peaks():
+    h = w = 128
+    hm = np.zeros((1, h, w, 4), dtype=np.float32)
+    centers = [(30, 40), (100, 17), (64, 64), (5, 120)]
+    yy, xx = np.mgrid[0:h, 0:w]
+    for c, (cy, cx) in enumerate(centers):
+        hm[0, :, :, c] = np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 2.0**2)
+        )
+    cfg = DecodeConfig(max_peaks_per_channel=3, score_threshold=0.05)
+    got = decode_heatmaps_pallas(jnp.asarray(hm), cfg, interpret=True)
+    pos = np.asarray(got.positions)[0]
+    val = np.asarray(got.valid)[0]
+    for c, (cy, cx) in enumerate(centers):
+        assert val[c, 0]
+        assert abs(pos[c, 0, 0] - cy) <= 0.5
+        assert abs(pos[c, 0, 1] - cx) <= 0.5
+
+
+def test_pallas_decode_rejects_bad_window():
+    cfg = DecodeConfig(nms_window=5)
+    with pytest.raises(ValueError, match="3x3"):
+        decode_heatmaps_pallas(jnp.zeros((1, 8, 128, 1)), cfg,
+                               interpret=True)
