@@ -24,7 +24,11 @@ import numpy as np
 
 from multiposenet_tpu.config import Config
 from multiposenet_tpu.models.posenet import MultiPoseNet
+from multiposenet_tpu.models.prn import PRN
 from multiposenet_tpu.ops import decode as decode_ops
+from multiposenet_tpu.ops import prn_ops
+from multiposenet_tpu.ops.decode_pallas import decode_heatmaps_pallas
+from multiposenet_tpu.ops.detection import postprocess_detections
 from multiposenet_tpu.ops.image import resize_pad_normalize
 from multiposenet_tpu.utils.constants import NUM_KEYPOINTS
 
@@ -49,6 +53,7 @@ class Predictor:
         prn_variables: Any | None = None,
         image_size: int | None = None,
         rng_seed: int = 0,
+        use_pallas_decode: bool | None = None,
     ):
         self.config = config or Config()
         self.image_size = image_size or self.config.train.image_size
@@ -60,13 +65,46 @@ class Predictor:
             )
             variables = self.model.init(rng, dummy, train=False)
         self.variables = variables
+
+        cfg = self.config
+        self.prn = PRN(
+            crop_height=cfg.prn.crop_height,
+            crop_width=cfg.prn.crop_width,
+            num_keypoints=cfg.model.num_keypoints,
+            hidden_units=cfg.prn.hidden_units,
+        )
+        if prn_variables is None:
+            dummy_crops = jnp.zeros(
+                (1, cfg.prn.crop_height, cfg.prn.crop_width,
+                 cfg.model.num_keypoints),
+                jnp.float32,
+            )
+            prn_variables = self.prn.init(
+                jax.random.PRNGKey(rng_seed + 1), dummy_crops
+            )
         self.prn_variables = prn_variables
+
+        # The fused Pallas decode kernel targets the canonical stride-4 map
+        # (lane-aligned W); fall back to the identical jnp implementation
+        # elsewhere (e.g. CPU tests at small sizes).
+        hm = self.image_size // cfg.model.output_stride
+        if use_pallas_decode is None:
+            use_pallas_decode = (
+                jax.default_backend() == "tpu" and hm % 128 == 0
+            )
+        self.use_pallas_decode = use_pallas_decode
         self._kp_forward = jax.jit(self._kp_forward_impl)
+        self._full_forward = jax.jit(self._full_forward_impl)
 
     # ---------------------------------------------------------------- #
     # Keypoint-only path (judged config #1: single-image heatmap
     # inference at 512x512).
     # ---------------------------------------------------------------- #
+
+    def _decode(self, heatmaps: jnp.ndarray) -> decode_ops.DecodedPeaks:
+        if self.use_pallas_decode:
+            return decode_heatmaps_pallas(heatmaps, self.config.decode)
+        return decode_ops.decode_heatmaps(heatmaps, self.config.decode)
 
     def _kp_forward_impl(
         self, variables: Any, image: jnp.ndarray
@@ -74,9 +112,7 @@ class Predictor:
         """uint8 [H, W, 3] → heatmaps + decoded peaks, one XLA program."""
         x, scale = resize_pad_normalize(image, self.image_size)
         out = self.model.apply(variables, x[None], train=False)
-        peaks = decode_ops.decode_heatmaps(
-            out["heatmaps"], self.config.decode
-        )
+        peaks = self._decode(out["heatmaps"])
         peaks = decode_ops.peaks_to_image_coords(
             peaks, self.config.model.output_stride
         )
@@ -118,3 +154,78 @@ class Predictor:
         )
         valid = np.asarray(out["peak_valid"][0]) & inside
         return positions, np.asarray(out["peak_scores"][0]), valid
+
+    # ---------------------------------------------------------------- #
+    # Full multi-person pipeline (judged configs #3 and #4): joint
+    # forward + detection + PRN assignment, one XLA program.
+    # ---------------------------------------------------------------- #
+
+    def _full_forward_impl(
+        self, variables: Any, prn_variables: Any, image: jnp.ndarray
+    ) -> dict[str, jnp.ndarray]:
+        cfg = self.config
+        x, scale = resize_pad_normalize(image, self.image_size)
+        out = self.model.apply(variables, x[None], train=False)
+
+        detections = postprocess_detections(
+            out["detector"], self.image_size, cfg.detector
+        )
+        # Person boxes in heatmap coordinates for the PRN crop.
+        stride = float(cfg.model.output_stride)
+        hm_boxes = detections.boxes / stride  # [1, D, 4]
+
+        crops = prn_ops.batched_crop_heatmaps(
+            out["heatmaps"], hm_boxes,
+            cfg.prn.crop_height, cfg.prn.crop_width,
+        )  # [1, D, ch, cw, K]
+        b, d = crops.shape[:2]
+        flat_crops = crops.reshape(b * d, *crops.shape[2:])
+        prn_out = self.prn.apply(prn_variables, flat_crops)
+        keypoints = prn_ops.keypoints_from_prn(
+            prn_out, flat_crops, hm_boxes.reshape(b * d, 4)
+        )  # [B*D, K, 3] (x, y, score) heatmap coords
+        keypoints = keypoints.reshape(b, d, cfg.model.num_keypoints, 3)
+        # Heatmap coords → model-input coords.
+        keypoints = keypoints.at[..., :2].multiply(stride)
+        return {
+            "boxes": detections.boxes,
+            "box_scores": detections.scores,
+            "box_valid": detections.valid,
+            "keypoints": keypoints,
+            "scale": scale,
+        }
+
+    def predict(self, image: np.ndarray) -> list[PersonPrediction]:
+        """uint8 [H, W, 3] RGB → per-person predictions in original coords.
+
+        Mirrors the reference contract `predict(image) -> [(box, score,
+        kp[17, 3]), ...]` (SURVEY.md §3.4).
+        """
+        image = np.asarray(image)
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(
+                "predict expects an RGB image of shape [H, W, 3], got "
+                f"{image.shape}"
+            )
+        out = self._full_forward(
+            self.variables, self.prn_variables, jnp.asarray(image)
+        )
+        scale = float(out["scale"])
+        boxes = np.asarray(out["boxes"][0]) / scale
+        scores = np.asarray(out["box_scores"][0])
+        valid = np.asarray(out["box_valid"][0])
+        kps = np.array(out["keypoints"][0])  # writable copy
+        kps[..., :2] /= scale
+
+        h, w = image.shape[:2]
+        results = []
+        for i in np.flatnonzero(valid):
+            box = np.clip(boxes[i], 0.0, [h - 1, w - 1, h - 1, w - 1])
+            kp = kps[i].copy()
+            kp[:, 0] = np.clip(kp[:, 0], 0.0, w - 1)
+            kp[:, 1] = np.clip(kp[:, 1], 0.0, h - 1)
+            results.append(
+                PersonPrediction(box=box, score=float(scores[i]),
+                                 keypoints=kp)
+            )
+        return results

@@ -1,0 +1,100 @@
+"""Detector post-processing: head outputs → person boxes (fixed shapes).
+
+Reference counterpart: box decoding + per-image NMS after the RetinaNet-style
+person head (SURVEY.md §2 "Person detector head" row; §3.4 inference step
+"sess.run(detector: boxes, scores) + NMS"). Everything here is batched,
+fixed-shape, and jit-compatible so it fuses into the single inference XLA
+program (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiposenet_tpu.config import DetectorConfig
+from multiposenet_tpu.ops import boxes as box_ops
+from multiposenet_tpu.ops.anchors import all_anchors
+from multiposenet_tpu.ops.nms import batched_nms
+
+
+class Detections(NamedTuple):
+    """Fixed-size per-image person detections.
+
+    boxes:  [B, D, 4] (y0, x0, y1, x1) in input-image pixels.
+    scores: [B, D] sigmoid person confidence (0 for invalid slots).
+    valid:  [B, D] bool.
+    """
+
+    boxes: jnp.ndarray
+    scores: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def flatten_outputs(
+    detector_out: dict[str, dict[str, jnp.ndarray]],
+    min_level: int,
+    max_level: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-level {cls[B,H,W,A], box[B,H,W,A*4]} → (cls[B,N], box[B,N,4]).
+
+    Flattening order (level-major, row-major spatial, anchor index) matches
+    `ops.anchors.all_anchors`.
+    """
+    cls_list, box_list = [], []
+    for level in range(min_level, max_level + 1):
+        out = detector_out[f"P{level}"]
+        cls = out["cls"]
+        box = out["box"]
+        b = cls.shape[0]
+        cls_list.append(cls.reshape(b, -1))
+        box_list.append(box.reshape(b, -1, 4))
+    return (
+        jnp.concatenate(cls_list, axis=1),
+        jnp.concatenate(box_list, axis=1),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "image_size")
+)
+def postprocess_detections(
+    detector_out: dict[str, dict[str, jnp.ndarray]],
+    image_size: int,
+    config: DetectorConfig = DetectorConfig(),
+) -> Detections:
+    """Joint decode + top-k + NMS for a batch of detector head outputs."""
+    logits, deltas = flatten_outputs(
+        detector_out, config.min_level, config.max_level
+    )
+    logits = logits.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
+    anchors = jnp.asarray(all_anchors(image_size, config))
+
+    # Pre-NMS top-k on logits (monotonic with sigmoid scores).
+    k = min(config.pre_nms_top_k, logits.shape[1])
+    top_logits, top_idx = jax.lax.top_k(logits, k)  # [B, k]
+    top_deltas = jnp.take_along_axis(
+        deltas, top_idx[..., None], axis=1
+    )
+    top_anchors = anchors[top_idx]  # [B, k, 4]
+
+    decoded = box_ops.decode(top_deltas, top_anchors)
+    decoded = box_ops.clip_to_image(
+        decoded, float(image_size), float(image_size)
+    )
+    scores = jax.nn.sigmoid(top_logits)
+    # Zero out candidates below the score threshold before NMS.
+    scores = jnp.where(scores >= config.score_threshold, scores, 0.0)
+
+    out_boxes, out_scores, valid = batched_nms(
+        decoded, scores, config.max_detections, config.nms_iou_threshold
+    )
+    valid = valid & (out_scores > 0.0)
+    return Detections(
+        boxes=out_boxes, scores=out_scores, valid=valid
+    )

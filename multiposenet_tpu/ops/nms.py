@@ -1,0 +1,78 @@
+"""Fixed-shape batched NMS, XLA-idiomatic (no dynamic shapes).
+
+Reference counterpart: `batch_nms` / per-image NMS in the person detector
+(SURVEY.md §2 "Person detector head" row). The reference used TF's dynamic
+NMS on host-visible tensors; here NMS runs on device with static shapes:
+`max_out` sequential selections over the pre-top-k candidate set inside a
+`lax.fori_loop` (compiler-friendly control flow), suppressed candidates
+masked to -inf. O(max_out * N) vectorized IoU work on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from multiposenet_tpu.ops.boxes import pairwise_iou
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int,
+    iou_threshold: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over boxes[N, 4] / scores[N] → fixed max_out outputs.
+
+    Returns (boxes[max_out, 4], scores[max_out], valid[max_out]); unselected
+    slots have score 0 and valid False. Selection order is by descending
+    score, exactly like the reference's sequential NMS.
+    """
+    n = boxes.shape[0]
+    iou = pairwise_iou(boxes, boxes)  # [N, N]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+
+    def body(i, state):
+        live_scores, out_idx, out_scores = state
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        picked = best_score > neg_inf
+        out_idx = out_idx.at[i].set(jnp.where(picked, best, -1))
+        out_scores = out_scores.at[i].set(
+            jnp.where(picked, best_score, 0.0)
+        )
+        # Suppress the chosen box and everything overlapping it.
+        suppress = iou[best] >= iou_threshold
+        live_scores = jnp.where(
+            picked & suppress, neg_inf, live_scores
+        )
+        live_scores = live_scores.at[best].set(
+            jnp.where(picked, neg_inf, live_scores[best])
+        )
+        return live_scores, out_idx, out_scores
+
+    init = (
+        scores.astype(jnp.float32),
+        jnp.full((max_out,), -1, jnp.int32),
+        jnp.zeros((max_out,), jnp.float32),
+    )
+    _, out_idx, out_scores = jax.lax.fori_loop(0, max_out, body, init)
+    valid = out_idx >= 0
+    safe_idx = jnp.maximum(out_idx, 0)
+    out_boxes = boxes[safe_idx] * valid[:, None].astype(boxes.dtype)
+    return out_boxes, out_scores, valid
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int,
+    iou_threshold: float = 0.5,
+):
+    """vmap of `nms` over a leading batch dim: boxes[B, N, 4], scores[B, N]."""
+    return jax.vmap(
+        lambda b, s: nms(b, s, max_out, iou_threshold)
+    )(boxes, scores)

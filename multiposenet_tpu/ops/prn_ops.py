@@ -1,0 +1,127 @@
+"""PRN box-conditional crop-resize + keypoint readout (fixed shapes).
+
+Reference counterpart: the per-person Python loop in inference — "crop
+heatmaps inside box, bilinear resize to PRN grid ... per-channel spatial
+softmax → argmax → keypoint" (SURVEY.md §3.4 device boundary #3; §2 "PRN"
+row). BASELINE.json:10 stresses ≥8-person images.
+
+TPU-first design: instead of per-box dynamic crops (gathers), the bilinear
+crop-resize of each box is expressed as two small interpolation matrices
+R_y[P, ch, H] and R_x[P, cw, W] (each row holds the two bilinear taps for
+one output row/column of one box) applied as batched matmuls:
+
+    crops[p] = R_y[p] @ heatmap @ R_x[p]^T        (per channel)
+
+Everything is padded to a static MAX_PERSONS with a validity mask
+(SURVEY.md §7 hard part 2), so a whole image's PRN pass is two einsums +
+one Dense pair — pure MXU work, zero host sync, identical for 1 or 32
+persons.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def interp_matrix(
+    starts: jnp.ndarray,
+    sizes: jnp.ndarray,
+    out_size: int,
+    in_size: int,
+) -> jnp.ndarray:
+    """Bilinear sampling matrices for P crops → [P, out_size, in_size].
+
+    For crop p covering [starts[p], starts[p] + sizes[p]) along an axis of
+    length in_size, output cell i samples the continuous coordinate
+        c = start + (i + 0.5) * size / out_size - 0.5
+    with border-clamped bilinear weights (half-pixel convention, matching
+    jax.image.resize(method='linear') on the crop).
+    """
+    p = starts.shape[0]
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    coords = (
+        starts[:, None]
+        + (i[None, :] + 0.5) * sizes[:, None] / out_size
+        - 0.5
+    )  # [P, out]
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo0 = jnp.clip(lo, 0, in_size - 1).astype(jnp.int32)
+    lo1 = jnp.clip(lo + 1, 0, in_size - 1).astype(jnp.int32)
+
+    grid = jnp.arange(in_size)[None, None, :]  # [1, 1, in]
+    w0 = (grid == lo0[:, :, None]) * (1.0 - frac)[:, :, None]
+    w1 = (grid == lo1[:, :, None]) * frac[:, :, None]
+    return (w0 + w1).astype(jnp.float32)  # [P, out, in]
+
+
+def crop_heatmaps(
+    heatmap: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_height: int,
+    crop_width: int,
+) -> jnp.ndarray:
+    """Bilinear crop-resize heatmap[H, W, K] inside boxes[P, 4] → crops.
+
+    boxes are (y0, x0, y1, x1) in *heatmap* coordinates. Returns
+    [P, crop_height, crop_width, K]. Degenerate boxes produce all-zero
+    gradients-safe crops (sizes clamped to ≥1e-3).
+    """
+    h, w, _ = heatmap.shape
+    y0, x0, y1, x1 = (boxes[:, i] for i in range(4))
+    ry = interp_matrix(
+        y0, jnp.maximum(y1 - y0, 1e-3), crop_height, h
+    )  # [P, ch, H]
+    rx = interp_matrix(
+        x0, jnp.maximum(x1 - x0, 1e-3), crop_width, w
+    )  # [P, cw, W]
+    # crops[p, i, j, k] = sum_{y, x} ry[p, i, y] * hm[y, x, k] * rx[p, j, x]
+    rows = jnp.einsum("piy,yxk->pixk", ry, heatmap)
+    return jnp.einsum("pjx,pixk->pijk", rx, rows)
+
+
+def batched_crop_heatmaps(
+    heatmaps: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_height: int,
+    crop_width: int,
+) -> jnp.ndarray:
+    """vmap over images: heatmaps[B, H, W, K], boxes[B, P, 4] → [B, P, ...]."""
+    return jax.vmap(
+        lambda hm, bx: crop_heatmaps(hm, bx, crop_height, crop_width)
+    )(heatmaps, boxes)
+
+
+def keypoints_from_prn(
+    prn_out: jnp.ndarray,
+    crops: jnp.ndarray,
+    boxes: jnp.ndarray,
+) -> jnp.ndarray:
+    """PRN output maps → per-person keypoints in heatmap coordinates.
+
+    prn_out: [P, ch, cw, K] per-channel softmax maps (sum to 1 per channel).
+    crops:   [P, ch, cw, K] the PRN *input* crops (scores read from here, as
+             the reference reads peak scores off the predicted heatmap).
+    boxes:   [P, 4] (y0, x0, y1, x1) heatmap coords.
+    Returns keypoints[P, K, 3] rows of (x, y, score) — reference layout.
+    """
+    p, ch, cw, k = prn_out.shape
+    flat = prn_out.reshape(p, ch * cw, k)
+    idx = jnp.argmax(flat, axis=1)  # [P, K]
+    iy = (idx // cw).astype(jnp.float32)
+    ix = (idx % cw).astype(jnp.float32)
+
+    # Score = input heatmap value at the PRN-selected cell.
+    score = jnp.take_along_axis(
+        crops.reshape(p, ch * cw, k), idx[:, None, :], axis=1
+    )[:, 0, :]  # [P, K]
+
+    # Map crop-grid cell centers back to heatmap coords (inverse of the
+    # sampling in interp_matrix).
+    y0, x0, y1, x1 = (boxes[:, i] for i in range(4))
+    bh = jnp.maximum(y1 - y0, 1e-3)[:, None]
+    bw = jnp.maximum(x1 - x0, 1e-3)[:, None]
+    hy = y0[:, None] + (iy + 0.5) * bh / ch - 0.5
+    hx = x0[:, None] + (ix + 0.5) * bw / cw - 0.5
+    return jnp.stack([hx, hy, score], axis=-1)  # (x, y, score)

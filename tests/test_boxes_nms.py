@@ -1,0 +1,126 @@
+"""Tests: anchors, box coding, IoU, fixed-shape NMS, detection postprocess."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiposenet_tpu.config import DetectorConfig
+from multiposenet_tpu.ops import boxes as box_ops
+from multiposenet_tpu.ops.anchors import all_anchors, level_anchors
+from multiposenet_tpu.ops.detection import postprocess_detections
+from multiposenet_tpu.ops.nms import batched_nms, nms
+
+
+def test_level_anchor_count_and_center():
+    a = level_anchors(64, 3, num_scales=3, aspect_ratios=(0.5, 1.0, 2.0),
+                      base_scale=4.0)
+    assert a.shape == (8 * 8 * 9, 4)
+    # First cell center at (4, 4); square anchor (ar=1.0, scale 0) is
+    # 32x32 → (y0,x0,y1,x1) = (-12, -12, 20, 20).
+    sq = a[3]  # anchors ordered scale-major, ar minor: idx 1 within scale 0
+    centers = (a[:, :2] + a[:, 2:]) / 2
+    np.testing.assert_allclose(centers[:9], 4.0, atol=1e-5)
+
+
+def test_anchor_flattening_matches_levels():
+    cfg = DetectorConfig()
+    a = all_anchors(128, cfg)
+    n = sum(
+        int(np.ceil(128 / 2**l)) ** 2 * 9
+        for l in range(cfg.min_level, cfg.max_level + 1)
+    )
+    assert a.shape == (n, 4)
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.RandomState(0)
+    anchors = np.stack([
+        rng.uniform(0, 50, 20), rng.uniform(0, 50, 20),
+        rng.uniform(60, 120, 20), rng.uniform(60, 120, 20),
+    ], axis=-1).astype(np.float32)
+    gt = np.stack([
+        rng.uniform(0, 40, 20), rng.uniform(0, 40, 20),
+        rng.uniform(50, 128, 20), rng.uniform(50, 128, 20),
+    ], axis=-1).astype(np.float32)
+    deltas = box_ops.encode(jnp.asarray(gt), jnp.asarray(anchors))
+    back = box_ops.decode(deltas, jnp.asarray(anchors))
+    np.testing.assert_allclose(np.asarray(back), gt, rtol=1e-4, atol=1e-3)
+
+
+def test_pairwise_iou_known_values():
+    a = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    b = jnp.asarray([
+        [0.0, 0.0, 10.0, 10.0],   # identical → 1
+        [0.0, 5.0, 10.0, 15.0],   # half overlap → 50/150
+        [20.0, 20.0, 30.0, 30.0],  # disjoint → 0
+    ])
+    iou = np.asarray(box_ops.pairwise_iou(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 50.0 / 150.0, 0.0], atol=1e-6)
+
+
+def test_nms_suppresses_overlaps_keeps_order():
+    boxes = jnp.asarray([
+        [0.0, 0.0, 10.0, 10.0],
+        [1.0, 1.0, 11.0, 11.0],    # heavy overlap with #0, lower score
+        [50.0, 50.0, 60.0, 60.0],  # disjoint
+        [0.0, 0.0, 10.0, 10.0],    # duplicate of #0, lowest score
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    out_boxes, out_scores, valid = nms(boxes, scores, max_out=4,
+                                       iou_threshold=0.5)
+    # Selection order: 0 (0.9), then 2 (0.7); 1 and 3 are suppressed, so
+    # only 2 valid outputs remain.
+    assert valid.tolist() == [True, True, False, False]
+    np.testing.assert_allclose(np.asarray(out_scores)[:2], [0.9, 0.7])
+    np.testing.assert_allclose(np.asarray(out_boxes)[0],
+                               [0.0, 0.0, 10.0, 10.0])
+    np.testing.assert_allclose(np.asarray(out_boxes)[1],
+                               [50.0, 50.0, 60.0, 60.0])
+
+
+def test_nms_exhausted_slots_invalid():
+    boxes = jnp.asarray([[0.0, 0.0, 10.0, 10.0],
+                         [1.0, 1.0, 11.0, 11.0]])
+    scores = jnp.asarray([0.9, 0.8])
+    _, out_scores, valid = nms(boxes, scores, max_out=4, iou_threshold=0.5)
+    assert valid.tolist()[0] is True or bool(valid[0])
+    assert not bool(valid[1])  # suppressed by #0
+    assert not bool(valid[2]) and not bool(valid[3])
+
+
+def test_batched_nms_shapes():
+    rng = np.random.RandomState(1)
+    boxes = jnp.asarray(
+        np.sort(rng.uniform(0, 100, (3, 50, 2, 2)), axis=-2).reshape(
+            3, 50, 4
+        )[:, :, [0, 2, 1, 3]].astype(np.float32)
+    )
+    scores = jnp.asarray(rng.rand(3, 50).astype(np.float32))
+    ob, os_, v = batched_nms(boxes, scores, max_out=8)
+    assert ob.shape == (3, 8, 4) and os_.shape == (3, 8) and v.shape == (3, 8)
+
+
+def test_postprocess_detections_finds_planted_box():
+    """Plant a confident logit at one anchor; postprocess must return a box
+    near that anchor."""
+    cfg = DetectorConfig(score_threshold=0.3, max_detections=8)
+    image_size = 128
+    a = cfg.num_scales * len(cfg.aspect_ratios)
+    det_out = {}
+    for level in range(cfg.min_level, cfg.max_level + 1):
+        f = int(np.ceil(image_size / 2**level))
+        det_out[f"P{level}"] = {
+            "cls": jnp.full((1, f, f, a), -6.0),
+            "box": jnp.zeros((1, f, f, a * 4)),
+        }
+    # Confident person at P3 cell (4, 4), anchor 1 (ar=1, scale 0 → 32x32).
+    det_out["P3"]["cls"] = det_out["P3"]["cls"].at[0, 4, 4, 1].set(5.0)
+
+    det = postprocess_detections(det_out, image_size, cfg)
+    assert bool(det.valid[0, 0])
+    assert int(det.valid[0].sum()) == 1
+    box = np.asarray(det.boxes)[0, 0]
+    center = [(box[0] + box[2]) / 2, (box[1] + box[3]) / 2]
+    np.testing.assert_allclose(center, [36.0, 36.0], atol=1.0)
+    np.testing.assert_allclose(box[2] - box[0], 32.0, atol=1.0)
+    assert float(det.scores[0, 0]) > 0.9

