@@ -1,0 +1,292 @@
+"""Benchmark harness — headline: end-to-end images/sec/chip at 512x512.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 5000 images/sec/chip on v5e (BASELINE.json:2,5); the e2e
+pipeline is: on-device preprocess (normalize) → MobileNet/FPN backbone →
+keypoint heatmaps + person detector → fused heatmap decode (Pallas on TPU)
+→ PRN keypoint-to-person assignment → per-person keypoints, measured with
+jax.block_until_ready on pre-staged device batches (chip throughput; host
+JPEG decode runs on worker threads and overlaps in production).
+
+Sub-benchmarks for the judged configs: `python bench.py --config N`
+(1..5, BASELINE.json:7-11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 5000.0
+
+
+def _enable_compile_cache() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _fence(out) -> None:
+    """Force real device completion.
+
+    jax.block_until_ready is NOT a reliable fence through the axon PJRT
+    tunnel (it returns ~0.2ms for work that takes ~50ms); fetching bytes to
+    host is. Fetch one small leaf — device execution is FIFO, so its
+    readiness implies everything before it finished.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(leaves[0]).ravel()[:1]
+
+
+def _timeit(fn, n_iters: int, n_warmup: int = 2) -> float:
+    """Median-of-3 runs of `fn` repeated n_iters; returns sec/iter."""
+    for _ in range(n_warmup):
+        out = fn()
+    _fence(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn()
+        _fence(out)
+        times.append((time.perf_counter() - t0) / n_iters)
+    return sorted(times)[1]
+
+
+def make_predictor(image_size: int, bf16: bool = True):
+    from multiposenet_tpu.config import Config, DetectorConfig, ModelConfig
+    from multiposenet_tpu.infer.predictor import Predictor
+
+    cfg = Config(
+        model=ModelConfig(
+            compute_dtype="bfloat16" if bf16 else "float32"
+        ),
+        detector=DetectorConfig(),
+    )
+    return Predictor(config=cfg, image_size=image_size)
+
+
+def bench_e2e(batch_size: int = 64, image_size: int = 512,
+              n_iters: int = 10) -> dict:
+    """Headline: full pipeline throughput on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    predictor = make_predictor(image_size)
+    rng = np.random.RandomState(0)
+    # Pre-stage distinct device batches (uint8) to avoid timing the axon
+    # tunnel host->device path; rotate through them.
+    n_bufs = 4
+    batches = [
+        jax.device_put(jnp.asarray(rng.randint(
+            0, 255, (batch_size, image_size, image_size, 3), dtype=np.uint8
+        )))
+        for _ in range(n_bufs)
+    ]
+    fn = jax.jit(predictor._batch_forward_impl)
+    i = [0]
+
+    def run():
+        out = fn(predictor.variables, predictor.prn_variables,
+                 batches[i[0] % n_bufs])
+        i[0] += 1
+        return out["keypoints"]
+
+    sec = _timeit(run, n_iters)
+    ips = batch_size / sec
+    return {
+        "metric": "e2e_pose_images_per_sec_per_chip_512",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+    }
+
+
+def bench_config_1() -> dict:
+    """Single-image 512x512 keypoint inference latency (CPU per
+    BASELINE.json:7 when run under JAX_PLATFORMS=cpu; device otherwise)."""
+    import jax
+
+    predictor = make_predictor(512, bf16=False)
+    img = np.random.RandomState(0).randint(0, 255, (512, 512, 3),
+                                           dtype=np.uint8)
+
+    def run():
+        return predictor._kp_forward(
+            predictor.variables, jax.numpy.asarray(img)
+        )["heatmaps"]
+
+    sec = _timeit(run, 5)
+    return {
+        "metric": "single_image_keypoint_inference_latency",
+        "value": round(sec * 1e3, 2),
+        "unit": "ms/image",
+        "vs_baseline": 0.0,
+    }
+
+
+def bench_config_2(batch_size: int = 64) -> dict:
+    """Batched heatmap decode throughput (Pallas kernel on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from multiposenet_tpu.config import DecodeConfig
+
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from multiposenet_tpu.ops.decode_pallas import (
+            decode_heatmaps_pallas as decode,
+        )
+    else:
+        from multiposenet_tpu.ops.decode import decode_heatmaps as decode
+
+    hm = jnp.asarray(
+        np.random.RandomState(0).rand(batch_size, 128, 128, 17)
+        .astype(np.float32)
+    )
+    cfg = DecodeConfig()
+
+    def run():
+        return decode(hm, cfg).scores
+
+    sec = _timeit(run, 20)
+    return {
+        "metric": "batched_heatmap_decode_images_per_sec",
+        "value": round(batch_size / sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+    }
+
+
+def bench_config_3(batch_size: int = 8) -> dict:
+    """Detector + keypoint subnet joint forward throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    predictor = make_predictor(512)
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(
+            0, 255, (batch_size, 512, 512, 3), dtype=np.uint8
+        )
+    )
+    from multiposenet_tpu.ops.image import normalize
+
+    def fwd(variables, images):
+        return predictor.model.apply(variables, normalize(images),
+                                     train=False)
+
+    fn = jax.jit(fwd)
+
+    def run():
+        return fn(predictor.variables, imgs)["heatmaps"]
+
+    sec = _timeit(run, 10)
+    return {
+        "metric": "joint_forward_images_per_sec",
+        "value": round(batch_size / sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+    }
+
+
+def bench_config_4(batch_size: int = 8) -> dict:
+    """PRN assignment on crowded (≥8-person) images."""
+    import jax
+    import jax.numpy as jnp
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.models.prn import PRN
+    from multiposenet_tpu.ops import prn_ops
+
+    cfg = Config()
+    prn = PRN(
+        crop_height=cfg.prn.crop_height, crop_width=cfg.prn.crop_width,
+        num_keypoints=17, hidden_units=cfg.prn.hidden_units,
+    )
+    rng = np.random.RandomState(0)
+    hms = jnp.asarray(rng.rand(batch_size, 128, 128, 17).astype(np.float32))
+    boxes = jnp.asarray(
+        np.sort(rng.uniform(0, 128, (batch_size, 12, 2, 2)), axis=2)
+        .transpose(0, 1, 3, 2).reshape(batch_size, 12, 4)
+        .astype(np.float32)
+    )
+    variables = prn.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.prn.crop_height,
+                                    cfg.prn.crop_width, 17)))
+
+    def pipeline(hms, boxes):
+        crops = prn_ops.batched_crop_heatmaps(
+            hms, boxes, cfg.prn.crop_height, cfg.prn.crop_width
+        )
+        b, p = crops.shape[:2]
+        flat = crops.reshape(b * p, *crops.shape[2:])
+        out = prn.apply(variables, flat)
+        return prn_ops.keypoints_from_prn(
+            out, flat, boxes.reshape(b * p, 4)
+        )
+
+    fn = jax.jit(pipeline)
+
+    def run():
+        return fn(hms, boxes)
+
+    sec = _timeit(run, 20)
+    return {
+        "metric": "prn_assignment_images_per_sec_12persons",
+        "value": round(batch_size / sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+    }
+
+
+def bench_config_5(batch_size: int = 64) -> dict:
+    """End-to-end eval pipeline, bs=64 DP over the available mesh."""
+    import jax
+    import jax.numpy as jnp
+    from multiposenet_tpu.parallel import mesh as mesh_lib
+
+    predictor = make_predictor(512)
+    mesh = mesh_lib.make_mesh()
+    run_batch = predictor.make_batch_runner(mesh)
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (batch_size, 512, 512, 3), dtype=np.uint8
+    )
+
+    def run():
+        return run_batch(imgs)["keypoints"]
+
+    sec = _timeit(run, 5)
+    n_dev = len(mesh.devices.flatten())
+    return {
+        "metric": "e2e_eval_images_per_sec_per_chip_dp",
+        "value": round(batch_size / sec / n_dev, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(
+            batch_size / sec / n_dev / BASELINE_IMAGES_PER_SEC, 3
+        ),
+    }
+
+
+def main() -> None:
+    _enable_compile_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=int, default=0,
+                        help="judged config 1..5; 0 = headline e2e")
+    parser.add_argument("--batch-size", type=int, default=64)
+    args = parser.parse_args()
+
+    if args.config == 0:
+        result = bench_e2e(batch_size=args.batch_size)
+    else:
+        result = [bench_config_1, bench_config_2, bench_config_3,
+                  bench_config_4, bench_config_5][args.config - 1]()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

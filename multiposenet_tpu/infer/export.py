@@ -1,0 +1,119 @@
+"""Model export/import: serialized EMA weights + config, and a TF-checkpoint
+import path.
+
+Reference counterpart: `save.py` / `create_pb.py` — freeze the trained graph
+with EMA weights baked in (SURVEY.md §2 "Export" row). The XLA-native
+equivalent of a frozen graph is (config JSON + params msgpack): the jitted
+program is reconstructed deterministically from those, and AOT compilation
+happens at Predictor build time.
+
+Also ships the TF→flax weight-import hook mandated by SURVEY.md §7 hard
+part 6 ("provide deterministic-init path + weight-import utility (TF ckpt →
+flax) for when weights appear").
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Mapping
+
+import flax.serialization
+import jax
+import numpy as np
+
+from multiposenet_tpu.config import Config
+
+
+def save_model(
+    directory: str | Path,
+    config: Config,
+    variables: Any,
+    prn_variables: Any | None = None,
+) -> None:
+    """Export config + weights (use EMA params for parity with the
+    reference's EMA-baked frozen graphs)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    (directory / "config.json").write_text(config.to_json())
+    (directory / "model.msgpack").write_bytes(
+        flax.serialization.to_bytes(jax.device_get(variables))
+    )
+    if prn_variables is not None:
+        (directory / "prn.msgpack").write_bytes(
+            flax.serialization.to_bytes(jax.device_get(prn_variables))
+        )
+
+
+def load_model(directory: str | Path):
+    """Returns (config, variables, prn_variables | None)."""
+    directory = Path(directory)
+    config = Config.from_json((directory / "config.json").read_text())
+
+    # Build templates with the right tree structure, then fill from bytes.
+    from multiposenet_tpu.infer.predictor import Predictor
+
+    template = Predictor(config=config, image_size=config.train.image_size)
+    variables = flax.serialization.from_bytes(
+        jax.device_get(template.variables),
+        (directory / "model.msgpack").read_bytes(),
+    )
+    prn_variables = None
+    prn_path = directory / "prn.msgpack"
+    if prn_path.exists():
+        prn_variables = flax.serialization.from_bytes(
+            jax.device_get(template.prn_variables), prn_path.read_bytes()
+        )
+    return config, variables, prn_variables
+
+
+def load_predictor(directory: str | Path, **kwargs):
+    """One-call equivalent of the reference's frozen-graph loading."""
+    from multiposenet_tpu.infer.predictor import Predictor
+
+    config, variables, prn_variables = load_model(directory)
+    return Predictor(
+        config=config, variables=variables, prn_variables=prn_variables,
+        **kwargs,
+    )
+
+
+def import_tf_checkpoint(
+    checkpoint_path: str,
+    flax_params: Any,
+    name_map: Callable[[str], str | None] | Mapping[str, str],
+    transpose_conv: bool = False,
+) -> Any:
+    """Load a TF checkpoint's tensors into a flax param tree by name.
+
+    `name_map` maps a flax param path (e.g.
+    'backbone/block_0/depthwise/conv/kernel') to the TF variable name, or
+    None to keep the flax init. TF and flax both store conv kernels HWIO so
+    no transpose is needed by default. Returns a new param tree; raises on
+    shape mismatch so silent mis-mapping is impossible.
+    """
+    import tensorflow as tf  # CPU-only usage (SURVEY.md §7)
+
+    reader = tf.train.load_checkpoint(checkpoint_path)
+    flat = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(flax_params), sep="/"
+    )
+    out = {}
+    for path, value in flat.items():
+        tf_name = (
+            name_map(path) if callable(name_map) else name_map.get(path)
+        )
+        if tf_name is None:
+            out[path] = value
+            continue
+        tensor = np.asarray(reader.get_tensor(tf_name))
+        if transpose_conv and tensor.ndim == 4:
+            tensor = tensor.transpose(0, 1, 2, 3)
+        if tensor.shape != value.shape:
+            raise ValueError(
+                f"shape mismatch importing {tf_name} -> {path}: "
+                f"{tensor.shape} vs {value.shape}"
+            )
+        out[path] = tensor.astype(value.dtype)
+    unflat = flax.traverse_util.unflatten_dict(out, sep="/")
+    return flax.serialization.from_state_dict(flax_params, unflat)

@@ -29,6 +29,7 @@ from multiposenet_tpu.ops import decode as decode_ops
 from multiposenet_tpu.ops import prn_ops
 from multiposenet_tpu.ops.decode_pallas import decode_heatmaps_pallas
 from multiposenet_tpu.ops.detection import postprocess_detections
+from multiposenet_tpu.ops import image as image_ops
 from multiposenet_tpu.ops.image import resize_pad_normalize
 from multiposenet_tpu.utils.constants import NUM_KEYPOINTS
 
@@ -229,3 +230,71 @@ class Predictor:
                                  keypoints=kp)
             )
         return results
+
+    # ---------------------------------------------------------------- #
+    # Sharded batched inference (judged config #5): batch dim sharded
+    # data-parallel over the ICI mesh, one XLA program.
+    # ---------------------------------------------------------------- #
+
+    def _batch_forward_impl(
+        self, variables: Any, prn_variables: Any, images: jnp.ndarray
+    ) -> dict[str, jnp.ndarray]:
+        """Preprocess + joint forward + decode + detection + PRN for a
+        fixed-size uint8 batch [B, S, S, 3] (already resized on host)."""
+        cfg = self.config
+        x = image_ops.normalize(images)
+        out = self.model.apply(variables, x, train=False)
+
+        peaks = self._decode(out["heatmaps"])
+        detections = postprocess_detections(
+            out["detector"], self.image_size, cfg.detector
+        )
+        stride = float(cfg.model.output_stride)
+        hm_boxes = detections.boxes / stride
+        crops = prn_ops.batched_crop_heatmaps(
+            out["heatmaps"], hm_boxes,
+            cfg.prn.crop_height, cfg.prn.crop_width,
+        )
+        b, d = crops.shape[:2]
+        flat_crops = crops.reshape(b * d, *crops.shape[2:])
+        prn_out = self.prn.apply(prn_variables, flat_crops)
+        keypoints = prn_ops.keypoints_from_prn(
+            prn_out, flat_crops, hm_boxes.reshape(b * d, 4)
+        ).reshape(b, d, cfg.model.num_keypoints, 3)
+        keypoints = keypoints.at[..., :2].multiply(stride)
+        return {
+            "boxes": detections.boxes,
+            "box_scores": detections.scores,
+            "box_valid": detections.valid,
+            "keypoints": keypoints,
+            "peak_positions": peaks.positions * stride,
+            "peak_scores": peaks.scores,
+            "peak_valid": peaks.valid,
+        }
+
+    def make_batch_runner(self, mesh=None):
+        """Compile the batched pipeline with the batch dim sharded over the
+        data mesh. Returns fn(uint8 images [B, S, S, 3]) -> output dict;
+        B must be divisible by the mesh size."""
+        from multiposenet_tpu.parallel import mesh as mesh_lib
+
+        if mesh is None:
+            mesh = mesh_lib.make_mesh()
+        batch_sh = mesh_lib.batch_sharding(mesh)
+        repl = mesh_lib.replicated(mesh)
+        variables = mesh_lib.replicate(self.variables, mesh)
+        prn_variables = mesh_lib.replicate(self.prn_variables, mesh)
+
+        # NOTE: no donate_argnums — donation breaks the axon PJRT plugin
+        # (see train/loop.py).
+        fn = jax.jit(
+            self._batch_forward_impl,
+            in_shardings=(repl, repl, batch_sh),
+            out_shardings=batch_sh,
+        )
+
+        def run(images):
+            images = jax.device_put(jnp.asarray(images), batch_sh)
+            return fn(variables, prn_variables, images)
+
+        return run

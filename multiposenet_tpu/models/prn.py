@@ -35,7 +35,9 @@ class PRN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, crops: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, crops: jnp.ndarray, return_logits: bool = False
+    ) -> jnp.ndarray:
         n = crops.shape[0]
         hw = self.crop_height * self.crop_width
         flat_dim = hw * self.num_keypoints
@@ -46,11 +48,10 @@ class PRN(nn.Module):
         out = nn.Dense(flat_dim, dtype=self.dtype, name="out")(h)
         out = out + x  # residual add of the input crop (PAPER §3.3)
 
-        # Per-channel spatial softmax over the crop grid.
-        out = out.reshape(n, self.crop_height, self.crop_width,
-                          self.num_keypoints)
         out = out.reshape(n, hw, self.num_keypoints)
-        out = _spatial_softmax(out)
+        if not return_logits:
+            # Per-channel spatial softmax over the crop grid.
+            out = _spatial_softmax(out)
         return out.reshape(
             n, self.crop_height, self.crop_width, self.num_keypoints
         )

@@ -94,7 +94,9 @@ def _bilinear_sample_2d(
     return top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+# NOTE: no donate_argnums — donation breaks the axon PJRT plugin (see
+# train/loop.py). The uint8 batch is still freed after the fused cast.
+@jax.jit
 def normalize_batch(images: jnp.ndarray) -> jnp.ndarray:
-    """Donated uint8 [B, H, W, 3] batch → normalized float32 (fixed size)."""
+    """uint8 [B, H, W, 3] batch → normalized float32 (fixed size)."""
     return normalize(images)

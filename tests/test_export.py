@@ -1,0 +1,85 @@
+"""Export/load round-trip and TF-checkpoint import."""
+
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from multiposenet_tpu.config import Config, ModelConfig, PRNConfig
+from multiposenet_tpu.infer import export
+from multiposenet_tpu.infer.predictor import Predictor
+
+
+def tiny_cfg():
+    return Config(
+        model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                          head_channels=32),
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32),
+    )
+
+
+def test_save_load_roundtrip_predictions_identical():
+    cfg = tiny_cfg()
+    pred = Predictor(config=cfg, image_size=128)
+    img = np.random.RandomState(0).randint(0, 255, (128, 128, 3),
+                                           dtype=np.uint8)
+    hm1 = pred.predict_heatmaps(img)
+
+    with tempfile.TemporaryDirectory() as d:
+        export.save_model(d, cfg, pred.variables, pred.prn_variables)
+        cfg2, variables, prn_vars = export.load_model(d)
+        assert cfg2 == cfg
+        pred2 = Predictor(config=cfg2, variables=variables,
+                          prn_variables=prn_vars, image_size=128)
+        hm2 = pred2.predict_heatmaps(img)
+    np.testing.assert_array_equal(hm1, hm2)
+
+
+def test_import_tf_checkpoint_by_name():
+    tf = pytest.importorskip("tensorflow")
+    cfg = tiny_cfg()
+    pred = Predictor(config=cfg, image_size=64)
+    params = pred.variables["params"]
+
+    # Write a TF checkpoint holding one variable destined for the stem conv.
+    flat = jax.tree_util.tree_leaves(params["backbone"]["stem"]["conv"])
+    stem_shape = params["backbone"]["stem"]["conv"]["kernel"].shape
+    want = np.random.RandomState(0).rand(*stem_shape).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as d:
+        v = tf.Variable(want, name="MobilenetV1/Conv2d_0/weights")
+        ckpt = tf.train.Checkpoint(w=v)
+        path = ckpt.save(d + "/ck")
+
+        def name_map(p):
+            if p == "backbone/stem/conv/kernel":
+                # tf.train.Checkpoint stores under this object path:
+                return "w/.ATTRIBUTES/VARIABLE_VALUE"
+            return None
+
+        new_params = export.import_tf_checkpoint(path, params, name_map)
+
+    got = np.asarray(new_params["backbone"]["stem"]["conv"]["kernel"])
+    np.testing.assert_array_equal(got, want)
+    # Unmapped leaves unchanged.
+    np.testing.assert_array_equal(
+        np.asarray(new_params["fpn"]["lateral_C2"]["kernel"]),
+        np.asarray(params["fpn"]["lateral_C2"]["kernel"]),
+    )
+
+
+def test_import_tf_checkpoint_shape_mismatch_raises():
+    tf = pytest.importorskip("tensorflow")
+    cfg = tiny_cfg()
+    pred = Predictor(config=cfg, image_size=64)
+    params = pred.variables["params"]
+    with tempfile.TemporaryDirectory() as d:
+        v = tf.Variable(np.zeros((1, 2), np.float32), name="bad")
+        path = tf.train.Checkpoint(w=v).save(d + "/ck")
+        with pytest.raises(ValueError, match="shape mismatch"):
+            export.import_tf_checkpoint(
+                path, params,
+                {"backbone/stem/conv/kernel":
+                 "w/.ATTRIBUTES/VARIABLE_VALUE"},
+            )

@@ -1,0 +1,73 @@
+"""PRN trainer: synthesized-heatmap CE training must raise assignment
+accuracy well above chance on crowded synthetic scenes (BASELINE.json:10
+stresses ≥8-person images)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiposenet_tpu.config import Config, ModelConfig, PRNConfig, TrainConfig
+from multiposenet_tpu.data.loader import make_batch
+from multiposenet_tpu.data.synthetic import make_dataset
+from multiposenet_tpu.train import prn_train
+
+
+def cfg_small():
+    return Config(
+        model=ModelConfig(backbone_width=0.25),
+        prn=PRNConfig(crop_height=28, crop_width=18, hidden_units=256,
+                      max_persons=10),
+        train=TrainConfig(image_size=128, batch_size=4, seed=0),
+    )
+
+
+def crowded_batches(cfg, n_batches, batch_size, seed=0):
+    records = make_dataset(
+        64, img_h=128, img_w=128, min_persons=8, max_persons=10, seed=seed
+    )
+    rng = np.random.RandomState(seed)
+    for i in range(n_batches):
+        idx = rng.choice(len(records), batch_size, replace=False)
+        yield make_batch(
+            [records[j] for j in idx], cfg.train.image_size,
+            cfg.prn.max_persons, train=False,
+        )
+
+
+def test_crop_cell_targets_roundtrip():
+    """A keypoint at a crop cell's sampling position maps to that cell."""
+    box = jnp.asarray([[16.0, 24.0, 80.0, 72.0]])  # input pixels
+    stride = 4
+    ch, cw = 28, 18
+    # Pick cell (5, 7); its sampled heatmap coords:
+    y0, x0 = 16 / stride, 24 / stride
+    bh, bw = (80 - 16) / stride, (72 - 24) / stride
+    hy = y0 + (5 + 0.5) * bh / ch - 0.5
+    hx = x0 + (7 + 0.5) * bw / cw - 0.5
+    kp = jnp.zeros((1, 17, 3)).at[0, 3].set(
+        jnp.asarray([hx * stride, hy * stride, 2.0])
+    )
+    cell, weight = prn_train.crop_cell_targets(kp, box, ch, cw, stride)
+    assert weight[0, 3] == 1.0
+    assert int(cell[0, 3]) == 5 * cw + 7
+    # Invisible keypoints carry zero weight.
+    assert weight[0, 0] == 0.0
+
+
+def test_prn_training_improves_accuracy():
+    cfg = cfg_small()
+    state = prn_train.create_prn_state(cfg, jax.random.PRNGKey(0))
+    step_fn = jax.jit(prn_train.make_prn_train_step(cfg))
+
+    first_acc, last_metrics = None, None
+    for i, batch in enumerate(crowded_batches(cfg, 60, 4)):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+        if i == 0:
+            first_acc = float(metrics["prn_accuracy"])
+        last_metrics = metrics
+    last_acc = float(last_metrics["prn_accuracy"])
+    last_loss = float(last_metrics["prn_loss"])
+    assert np.isfinite(last_loss)
+    assert last_acc > first_acc + 0.2, (first_acc, last_acc)
+    assert last_acc > 0.5, last_acc

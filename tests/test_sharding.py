@@ -1,0 +1,68 @@
+"""Data-parallel sharding over 8 virtual devices (SURVEY.md §4: exercise the
+DP mesh/sharding path without a TPU slice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiposenet_tpu.config import (
+    Config, DecodeConfig, DetectorConfig, ModelConfig, PRNConfig,
+)
+from multiposenet_tpu.infer.predictor import Predictor
+from multiposenet_tpu.parallel import mesh as mesh_lib
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_and_shardings():
+    mesh = mesh_lib.make_mesh()
+    assert mesh.shape == {"data": 8}
+    x = np.zeros((16, 4), np.float32)
+    sharded = mesh_lib.shard_batch(x, mesh)
+    # Each device holds 16/8 = 2 rows.
+    assert sharded.sharding.shard_shape(sharded.shape) == (2, 4)
+    r = mesh_lib.replicate(x, mesh)
+    assert r.sharding.shard_shape(r.shape) == (16, 4)
+
+
+def _tiny_predictor():
+    cfg = Config(
+        model=ModelConfig(
+            backbone_width=0.25, fpn_channels=32, head_channels=32
+        ),
+        detector=DetectorConfig(score_threshold=0.0, max_detections=8,
+                                pre_nms_top_k=100),
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32),
+        decode=DecodeConfig(max_peaks_per_channel=4),
+    )
+    return Predictor(config=cfg, image_size=128)
+
+
+def test_sharded_batch_inference_matches_single_device():
+    pred = _tiny_predictor()
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (8, 128, 128, 3), dtype=np.uint8)
+
+    run = pred.make_batch_runner()
+    out = run(images)
+    # Batch dim sharded 8-way.
+    assert out["keypoints"].shape == (8, 8, 17, 3)
+    assert out["boxes"].shape == (8, 8, 4)
+    shard_shape = out["boxes"].sharding.shard_shape(out["boxes"].shape)
+    assert shard_shape[0] == 1
+
+    # Parity with the unsharded path on one image.
+    single = pred._batch_forward_impl(
+        pred.variables, pred.prn_variables, jnp.asarray(images[:1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"])[0], np.asarray(single["boxes"])[0],
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["keypoints"])[0],
+        np.asarray(single["keypoints"])[0],
+        rtol=1e-4, atol=1e-3,
+    )
