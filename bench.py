@@ -42,7 +42,9 @@ def _fence(out) -> None:
     import jax
 
     leaves = jax.tree_util.tree_leaves(out)
-    np.asarray(leaves[0]).ravel()[:1]
+    # Slice ON DEVICE first, then fetch 1 element — fetching a whole leaf
+    # would time the tunnel transfer, not the computation.
+    np.asarray(leaves[0].ravel()[:1])
 
 
 def _timeit(fn, n_iters: int, n_warmup: int = 2) -> float:
@@ -219,7 +221,10 @@ def bench_config_4(batch_size: int = 8) -> dict:
                          jnp.zeros((1, cfg.prn.crop_height,
                                     cfg.prn.crop_width, 17)))
 
-    def pipeline(hms, boxes):
+    # NOTE: variables must be an argument, not a closure constant — the PRN
+    # Dense weights are ~280 MB and constant-folding them into the HLO
+    # overflows the axon remote-compile request (HTTP 413).
+    def pipeline(variables, hms, boxes):
         crops = prn_ops.batched_crop_heatmaps(
             hms, boxes, cfg.prn.crop_height, cfg.prn.crop_width
         )
@@ -233,7 +238,7 @@ def bench_config_4(batch_size: int = 8) -> dict:
     fn = jax.jit(pipeline)
 
     def run():
-        return fn(hms, boxes)
+        return fn(variables, hms, boxes)
 
     sec = _timeit(run, 20)
     return {

@@ -73,6 +73,7 @@ class Predictor:
             crop_width=cfg.prn.crop_width,
             num_keypoints=cfg.model.num_keypoints,
             hidden_units=cfg.prn.hidden_units,
+            dtype=jnp.dtype(cfg.model.compute_dtype),
         )
         if prn_variables is None:
             dummy_crops = jnp.zeros(
@@ -175,9 +176,10 @@ class Predictor:
         stride = float(cfg.model.output_stride)
         hm_boxes = detections.boxes / stride  # [1, D, 4]
 
+        crop_dtype = jnp.dtype(cfg.model.compute_dtype)
         crops = prn_ops.batched_crop_heatmaps(
             out["heatmaps"], hm_boxes,
-            cfg.prn.crop_height, cfg.prn.crop_width,
+            cfg.prn.crop_height, cfg.prn.crop_width, crop_dtype,
         )  # [1, D, ch, cw, K]
         b, d = crops.shape[:2]
         flat_crops = crops.reshape(b * d, *crops.shape[2:])
@@ -254,6 +256,7 @@ class Predictor:
         crops = prn_ops.batched_crop_heatmaps(
             out["heatmaps"], hm_boxes,
             cfg.prn.crop_height, cfg.prn.crop_width,
+            jnp.dtype(cfg.model.compute_dtype),
         )
         b, d = crops.shape[:2]
         flat_crops = crops.reshape(b * d, *crops.shape[2:])

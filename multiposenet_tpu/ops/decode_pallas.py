@@ -56,9 +56,11 @@ def smoothing_matrix(n: int, sigma: float, kernel_size: int) -> np.ndarray:
     return s
 
 
-def _decode_kernel(x_ref, sh_ref, sw_ref, scores_ref, dy_ref, dx_ref,
-                   *, subpixel_shift: float):
-    """One [1, H, W] heatmap → suppressed scores + sub-pixel offset maps."""
+def _decode_kernel(x_ref, sh_ref, sw_ref, scores_ref, dy_ref, dx_ref):
+    """One [1, H, W] heatmap → suppressed scores + sub-pixel sign maps.
+
+    Sign maps are int8 in {-1, 0, 1} (the caller multiplies by the
+    configured shift) — 4x less HBM write traffic than f32 offsets."""
     x = x_ref[0]  # [H, W]
     neg_inf = jnp.float32(-jnp.inf)
 
@@ -81,15 +83,14 @@ def _decode_kernel(x_ref, sh_ref, sw_ref, scores_ref, dy_ref, dx_ref,
 
     scores_ref[0] = jnp.where(is_peak, sm, neg_inf)
 
-    # Sub-pixel offsets toward the larger neighbor, border-CLIPPED reads
-    # (matches ops.decode.subpixel_refine's clipped gathers).
+    # Sub-pixel shift direction toward the larger neighbor, border-CLIPPED
+    # reads (matches ops.decode.subpixel_refine's clipped gathers).
     right_n = jnp.concatenate([sm[:, 1:], sm[:, -1:]], axis=1)  # col j+1
     left_n = jnp.concatenate([sm[:, :1], sm[:, :-1]], axis=1)   # col j-1
     down_n = jnp.concatenate([sm[1:], sm[-1:]], axis=0)         # row i+1
     up_n = jnp.concatenate([sm[:1], sm[:-1]], axis=0)           # row i-1
-    shift = jnp.float32(subpixel_shift)
-    dx_ref[0] = jnp.sign(right_n - left_n) * shift
-    dy_ref[0] = jnp.sign(down_n - up_n) * shift
+    dx_ref[0] = jnp.sign(right_n - left_n).astype(jnp.int8)
+    dy_ref[0] = jnp.sign(down_n - up_n).astype(jnp.int8)
 
 
 @functools.partial(
@@ -122,9 +123,6 @@ def decode_heatmaps_pallas(
     sw = jnp.asarray(smoothing_matrix(w, config.smooth_sigma,
                                       config.smooth_kernel_size))
 
-    kernel = functools.partial(
-        _decode_kernel, subpixel_shift=config.subpixel_shift
-    )
     map_spec = pl.BlockSpec(
         (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -132,28 +130,35 @@ def decode_heatmaps_pallas(
                               memory_space=pltpu.VMEM)
     mat_spec_w = pl.BlockSpec((w, w), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((b * k, h, w), jnp.float32)
+    out_f32 = jax.ShapeDtypeStruct((b * k, h, w), jnp.float32)
+    out_i8 = jax.ShapeDtypeStruct((b * k, h, w), jnp.int8)
     scores_map, dy_map, dx_map = pl.pallas_call(
-        kernel,
+        _decode_kernel,
         grid=(b * k,),
         in_specs=[map_spec, mat_spec_h, mat_spec_w],
         out_specs=(map_spec, map_spec, map_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_shape=(out_f32, out_i8, out_i8),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * (h * h * w + h * w * w),
-            bytes_accessed=4 * b * k * h * w * 4,
+            bytes_accessed=b * k * h * w * (4 + 4 + 1 + 1),
             transcendentals=0,
         ),
         interpret=interpret,
     )(x, sh, sw)
 
-    # Channelwise top-k + offset gather in XLA.
-    flat_scores = scores_map.reshape(b, k, h * w)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, p)
+    # Channelwise hierarchical top-k + offset gather in XLA.
+    from multiposenet_tpu.ops.decode import topk_2d
+
+    top_scores, top_idx = topk_2d(scores_map.reshape(b, k, h, w), p)
     ys = top_idx // w
     xs = top_idx % w
-    dy = jnp.take_along_axis(dy_map.reshape(b, k, h * w), top_idx, axis=-1)
-    dx = jnp.take_along_axis(dx_map.reshape(b, k, h * w), top_idx, axis=-1)
+    shift = jnp.float32(config.subpixel_shift)
+    dy = jnp.take_along_axis(
+        dy_map.reshape(b, k, h * w), top_idx, axis=-1
+    ).astype(jnp.float32) * shift
+    dx = jnp.take_along_axis(
+        dx_map.reshape(b, k, h * w), top_idx, axis=-1
+    ).astype(jnp.float32) * shift
     positions = jnp.stack(
         [ys.astype(jnp.float32) + dy, xs.astype(jnp.float32) + dx], axis=-1
     )

@@ -32,8 +32,21 @@ def nms(
     score, exactly like the reference's sequential NMS.
     """
     n = boxes.shape[0]
-    iou = pairwise_iou(boxes, boxes)  # [N, N]
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+
+    def iou_row(best):
+        """IoU of boxes[best] vs all boxes — computed on the fly so the
+        [N, N] matrix (4 MB/image at N=1000) is never materialized."""
+        b = boxes[best]
+        y0 = jnp.maximum(b[0], boxes[:, 0])
+        x0 = jnp.maximum(b[1], boxes[:, 1])
+        y1 = jnp.minimum(b[2], boxes[:, 2])
+        x1 = jnp.minimum(b[3], boxes[:, 3])
+        inter = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+        return inter / jnp.maximum(areas[best] + areas - inter, 1e-8)
 
     def body(i, state):
         live_scores, out_idx, out_scores = state
@@ -45,7 +58,7 @@ def nms(
             jnp.where(picked, best_score, 0.0)
         )
         # Suppress the chosen box and everything overlapping it.
-        suppress = iou[best] >= iou_threshold
+        suppress = iou_row(best) >= iou_threshold
         live_scores = jnp.where(
             picked & suppress, neg_inf, live_scores
         )

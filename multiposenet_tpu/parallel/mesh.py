@@ -34,6 +34,23 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(
+    batch_size: int,
+    devices: Sequence[jax.Device] | None = None,
+    axis: str = DATA_AXIS,
+) -> Mesh:
+    """Mesh over the largest device count that divides batch_size.
+
+    A batch must shard evenly over the data axis; e.g. batch 2 on an
+    8-device host uses a 2-device mesh."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -35,7 +35,7 @@ def train(
     """Run training; returns the final TrainState (replicated)."""
     t = config.train
     num_steps = num_steps if num_steps is not None else t.num_steps
-    mesh = mesh or mesh_lib.make_mesh()
+    mesh = mesh or mesh_lib.make_mesh_for_batch(t.batch_size)
     repl = mesh_lib.replicated(mesh)
     bsh = mesh_lib.batch_sharding(mesh)
 

@@ -1,0 +1,74 @@
+"""CLI smoke tests (train / train-prn / eval / predict on synthetic data)."""
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multiposenet_tpu.cli import main
+from multiposenet_tpu.config import (
+    Config, DetectorConfig, ModelConfig, PRNConfig, TrainConfig,
+)
+
+
+@pytest.fixture()
+def tiny_config_file(tmp_path):
+    cfg = Config(
+        model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                          head_channels=32),
+        detector=DetectorConfig(pre_nms_top_k=50, max_detections=4,
+                                score_threshold=0.0),
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32,
+                      max_persons=4),
+        train=TrainConfig(
+            image_size=64, batch_size=2, num_steps=2, warmup_steps=1,
+            log_interval_steps=1,
+            checkpoint_dir=str(tmp_path / "ck"),
+        ),
+    )
+    p = tmp_path / "config.json"
+    p.write_text(cfg.to_json())
+    return str(p)
+
+
+def test_cli_train_and_eval_roundtrip(tiny_config_file, tmp_path, capsys):
+    model_dir = str(tmp_path / "model")
+    main(["train", "--config", tiny_config_file, "--synthetic", "4",
+          "--steps", "2", "--model-dir", model_dir])
+    out = capsys.readouterr().out
+    assert "exported EMA model" in out
+    assert (Path(model_dir) / "model.msgpack").exists()
+
+    main(["eval", "--model-dir", model_dir, "--synthetic", "3",
+          "--max-images", "3"])
+    out = capsys.readouterr().out
+    stats = json.loads(out)
+    assert "AP" in stats
+
+
+def test_cli_train_prn(tiny_config_file, tmp_path, capsys):
+    model_dir = str(tmp_path / "prn")
+    main(["train-prn", "--config", tiny_config_file, "--synthetic", "4",
+          "--steps", "2", "--model-dir", model_dir])
+    assert (Path(model_dir) / "prn.msgpack").exists()
+
+
+def test_cli_predict_writes_visualization(tiny_config_file, tmp_path,
+                                          capsys):
+    import cv2
+
+    img_path = str(tmp_path / "in.png")
+    out_path = str(tmp_path / "out.png")
+    cv2.imwrite(img_path, np.random.RandomState(0).randint(
+        0, 255, (80, 96, 3), dtype=np.uint8))
+    main(["predict", "--config", tiny_config_file, "--image", img_path,
+          "--output", out_path])
+    out = capsys.readouterr().out
+    people = json.loads(out)
+    assert isinstance(people, list)
+    assert Path(out_path).exists()
+    vis = cv2.imread(out_path)
+    assert vis.shape == (80, 96, 3)
