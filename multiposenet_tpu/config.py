@@ -64,7 +64,8 @@ class DetectorConfig:
     match_low: float = 0.4
     # Inference-time decoding (fixed shapes — XLA friendly).
     pre_nms_top_k: int = 1000
-    max_detections: int = 32
+    # 20 = COCOeval keypoints maxDets; every padded slot costs PRN work.
+    max_detections: int = 20
     nms_iou_threshold: float = 0.5
     score_threshold: float = 0.3
 

@@ -183,7 +183,10 @@ class Predictor:
         )  # [1, D, ch, cw, K]
         b, d = crops.shape[:2]
         flat_crops = crops.reshape(b * d, *crops.shape[2:])
-        prn_out = self.prn.apply(prn_variables, flat_crops)
+        # Logits, not softmax: argmax is identical and the softmax over
+        # [B*D, ch*cw, K] costs real HBM traffic at inference.
+        prn_out = self.prn.apply(prn_variables, flat_crops,
+                                 return_logits=True)
         keypoints = prn_ops.keypoints_from_prn(
             prn_out, flat_crops, hm_boxes.reshape(b * d, 4)
         )  # [B*D, K, 3] (x, y, score) heatmap coords
@@ -242,9 +245,17 @@ class Predictor:
         self, variables: Any, prn_variables: Any, images: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
         """Preprocess + joint forward + decode + detection + PRN for a
-        fixed-size uint8 batch [B, S, S, 3] (already resized on host)."""
+        uint8 batch, one XLA program.
+
+        images may be [B, S, S, 3] (host already letterboxed to the model
+        size — only normalize runs on device) or [B, Hs, Ws, 3] at a fixed
+        staging shape — then bilinear resize to the model size runs on
+        device as two constant-matrix matmuls (fused input path)."""
         cfg = self.config
-        x = image_ops.normalize(images)
+        if images.shape[1:3] == (self.image_size, self.image_size):
+            x = image_ops.normalize(images)
+        else:
+            x = image_ops.resize_normalize_batch(images, self.image_size)
         out = self.model.apply(variables, x, train=False)
 
         peaks = self._decode(out["heatmaps"])
@@ -253,14 +264,15 @@ class Predictor:
         )
         stride = float(cfg.model.output_stride)
         hm_boxes = detections.boxes / stride
+        crop_dtype = jnp.dtype(cfg.model.compute_dtype)
         crops = prn_ops.batched_crop_heatmaps(
             out["heatmaps"], hm_boxes,
-            cfg.prn.crop_height, cfg.prn.crop_width,
-            jnp.dtype(cfg.model.compute_dtype),
+            cfg.prn.crop_height, cfg.prn.crop_width, crop_dtype,
         )
         b, d = crops.shape[:2]
         flat_crops = crops.reshape(b * d, *crops.shape[2:])
-        prn_out = self.prn.apply(prn_variables, flat_crops)
+        prn_out = self.prn.apply(prn_variables, flat_crops,
+                                 return_logits=True)
         keypoints = prn_ops.keypoints_from_prn(
             prn_out, flat_crops, hm_boxes.reshape(b * d, 4)
         ).reshape(b, d, cfg.model.num_keypoints, 3)

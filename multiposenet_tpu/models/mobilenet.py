@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -28,6 +29,46 @@ def _make_divisible(v: float, divisor: int = 8) -> int:
     if new_v < 0.9 * v:
         new_v += divisor
     return new_v
+
+
+class _DepthwiseConv3x3(nn.Module):
+    """Depthwise 3x3 with the same param tree as nn.Conv(groups=C).
+
+    Routes stride-1 inference on TPU through the Pallas kernel
+    (ops/depthwise_pallas.py — XLA's depthwise lowering runs ~10x below
+    HBM bandwidth); training and other backends use lax.conv so autodiff
+    and CPU tests see identical math (the kernel is bit-parity tested).
+    """
+
+    strides: tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from multiposenet_tpu.ops import depthwise_pallas
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, c),
+            jnp.float32,
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        # The Pallas kernel wins on large spatial maps (bandwidth-bound);
+        # at the deep low-resolution levels (<=32^2) its per-row loop
+        # overhead loses to XLA, so gate on spatial size.
+        if (
+            self.strides == (1, 1)
+            and x.shape[1] >= 64
+            and depthwise_pallas.use_pallas_depthwise(train)
+        ):
+            return depthwise_pallas.depthwise_conv3x3(x, kernel)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x, kernel, self.strides, "SAME", dimension_numbers=dn,
+            feature_group_count=c,
+        )
 
 
 class ConvBNRelu6(nn.Module):
@@ -43,16 +84,25 @@ class ConvBNRelu6(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding="SAME",
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (
+            self.groups > 1
+            and self.groups == x.shape[-1] == self.features
+            and self.kernel == (3, 3)
+        ):
+            x = _DepthwiseConv3x3(
+                strides=self.strides, dtype=self.dtype, name="conv"
+            )(x, train=train)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding="SAME",
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multiposenet_tpu.utils.constants import IMAGENET_MEAN, IMAGENET_STD
 
@@ -100,3 +101,43 @@ def _bilinear_sample_2d(
 def normalize_batch(images: jnp.ndarray) -> jnp.ndarray:
     """uint8 [B, H, W, 3] batch → normalized float32 (fixed size)."""
     return normalize(images)
+
+
+def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """[out, in] bilinear interpolation matrix, half-pixel convention
+    (matches jax.image.resize(method='linear') for down/upscaling)."""
+    i = np.arange(out_size, dtype=np.float64)
+    coords = (i + 0.5) * (in_size / out_size) - 0.5
+    lo = np.floor(coords)
+    frac = coords - lo
+    lo0 = np.clip(lo, 0, in_size - 1).astype(np.int64)
+    lo1 = np.clip(lo + 1, 0, in_size - 1).astype(np.int64)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo0] += (1.0 - frac).astype(np.float32)
+    m[np.arange(out_size), lo1] += frac.astype(np.float32)
+    return m
+
+
+def resize_normalize_batch(
+    images: jnp.ndarray, target_size: int, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """On-device batched resize + normalize: uint8 [B, Hs, Ws, 3] staging
+    batch → normalized [B, target, target, 3].
+
+    The staging shape is fixed across the batch, so bilinear resize is two
+    constant interpolation matrices applied as batched matmuls — pure MXU
+    work fused into the same XLA program as the network forward
+    (BASELINE.json "fused image input path ... resize, per-channel
+    normalize"). Host only decodes JPEGs and letterboxes to the staging
+    shape; scale bookkeeping is the caller's (one factor per image).
+    """
+    b, hs, ws, c = images.shape
+    ry = jnp.asarray(_resize_matrix(target_size, hs), dtype)
+    rx = jnp.asarray(_resize_matrix(target_size, ws), dtype)
+    x = images.astype(dtype)
+    # rows[b, i, w, c] = sum_h ry[i, h] x[b, h, w, c]
+    x = jnp.einsum("ih,bhwc->biwc", ry, x)
+    x = jnp.einsum("jw,biwc->bijc", rx, x)
+    mean = jnp.asarray(IMAGENET_MEAN * 255.0, dtype)
+    std = jnp.asarray(IMAGENET_STD * 255.0, dtype)
+    return (x - mean) / std

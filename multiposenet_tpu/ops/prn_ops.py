@@ -20,9 +20,10 @@ persons.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
-
 
 def interp_matrix(
     starts: jnp.ndarray,
@@ -54,7 +55,6 @@ def interp_matrix(
     w0 = (grid == lo0[:, :, None]) * (1.0 - frac)[:, :, None]
     w1 = (grid == lo1[:, :, None]) * frac[:, :, None]
     return (w0 + w1).astype(jnp.float32)  # [P, out, in]
-
 
 def crop_heatmaps(
     heatmap: jnp.ndarray,
@@ -89,7 +89,6 @@ def crop_heatmaps(
     rows = jnp.einsum("piy,yxk->pixk", ry, heatmap)
     return jnp.einsum("pjx,pixk->pijk", rx, rows)
 
-
 def batched_crop_heatmaps(
     heatmaps: jnp.ndarray,
     boxes: jnp.ndarray,
@@ -102,7 +101,6 @@ def batched_crop_heatmaps(
         lambda hm, bx: crop_heatmaps(hm, bx, crop_height, crop_width, dtype)
     )(heatmaps, boxes)
 
-
 def keypoints_from_prn(
     prn_out: jnp.ndarray,
     crops: jnp.ndarray,
@@ -110,22 +108,27 @@ def keypoints_from_prn(
 ) -> jnp.ndarray:
     """PRN output maps → per-person keypoints in heatmap coordinates.
 
-    prn_out: [P, ch, cw, K] per-channel softmax maps (sum to 1 per channel).
+    prn_out: [P, ch, cw, K] per-channel PRN maps — softmax OR raw logits
+             (softmax is monotonic per channel, so the argmax is identical;
+             the inference pipeline passes logits and skips the softmax).
     crops:   [P, ch, cw, K] the PRN *input* crops (scores read from here, as
              the reference reads peak scores off the predicted heatmap).
     boxes:   [P, 4] (y0, x0, y1, x1) heatmap coords.
     Returns keypoints[P, K, 3] rows of (x, y, score) — reference layout.
     """
     p, ch, cw, k = prn_out.shape
-    flat = prn_out.reshape(p, ch * cw, k)
-    idx = jnp.argmax(flat, axis=1)  # [P, K]
+    # Reduce over the LAST axis (channels-last argmax over a 17-lane axis
+    # is a strided mess on TPU; XLA fuses this transpose into the reduce).
+    flat_t = prn_out.reshape(p, ch * cw, k).swapaxes(1, 2)  # [P, K, hw]
+    idx = jnp.argmax(flat_t, axis=-1)  # [P, K]
     iy = (idx // cw).astype(jnp.float32)
     ix = (idx % cw).astype(jnp.float32)
 
     # Score = input heatmap value at the PRN-selected cell.
     score = jnp.take_along_axis(
-        crops.reshape(p, ch * cw, k), idx[:, None, :], axis=1
-    )[:, 0, :]  # [P, K]
+        crops.reshape(p, ch * cw, k).swapaxes(1, 2), idx[..., None],
+        axis=-1,
+    )[..., 0]  # [P, K]
 
     # Map crop-grid cell centers back to heatmap coords (inverse of the
     # sampling in interp_matrix).

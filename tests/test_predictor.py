@@ -112,3 +112,34 @@ def test_full_predict_empty_when_threshold_high():
     pred = Predictor(config=cfg, image_size=128)
     img = np.zeros((128, 128, 3), dtype=np.uint8)
     assert pred.predict(img) == []
+
+
+def test_on_device_resize_matches_host_path():
+    """A staging-shape batch resized on device must closely match the host
+    path (cv2.INTER_LINEAR — plain bilinear sampling, no anti-aliasing,
+    same convention the training loader uses in augment.resize_to)."""
+    import cv2
+    import jax.numpy as jnp
+    from multiposenet_tpu.ops.image import (
+        normalize, resize_normalize_batch,
+    )
+
+    rng = np.random.RandomState(0)
+    staging = rng.randint(0, 255, (2, 256, 256, 3), dtype=np.uint8)
+    got = np.asarray(resize_normalize_batch(jnp.asarray(staging), 128))
+    want = np.stack([
+        cv2.resize(img, (128, 128), interpolation=cv2.INTER_LINEAR)
+        for img in staging
+    ]).astype(np.float32)
+    want = np.asarray(normalize(jnp.asarray(want)))
+    # cv2 computes in fixed point; allow small per-pixel slack.
+    np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_batch_runner_accepts_staging_shape():
+    pred = tiny_predictor(image_size=128)
+    run = pred.make_batch_runner()
+    rng = np.random.RandomState(1)
+    images = rng.randint(0, 255, (8, 192, 192, 3), dtype=np.uint8)
+    out = run(images)
+    assert out["keypoints"].shape[0] == 8
