@@ -282,7 +282,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=0,
                         help="judged config 1..5; 0 = headline e2e")
-    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--batch-size", type=int, default=128)
     args = parser.parse_args()
 
     if args.config == 0:

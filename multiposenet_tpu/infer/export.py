@@ -78,6 +78,50 @@ def load_predictor(directory: str | Path, **kwargs):
     )
 
 
+def mobilenet_v1_slim_name_map(path: str) -> str | None:
+    """Best-effort flax-path → TF-slim MobileNetV1 variable-name mapping.
+
+    Covers the backbone warm start the reference used ("warm-started from
+    an ImageNet ckpt", SURVEY.md §2 Backbone row). Block order matches
+    slim's Conv2d_0 (stem) + Conv2d_{i}_depthwise/pointwise numbering.
+    Only backbone weights map; heads keep their init. Verify shapes — the
+    importer raises on mismatch.
+    """
+    parts = path.split("/")
+    if parts[0] != "backbone":
+        return None
+
+    def bn_suffix(leaf: str) -> str | None:
+        return {
+            "scale": "BatchNorm/gamma",
+            "bias": "BatchNorm/beta",
+            "mean": "BatchNorm/moving_mean",
+            "var": "BatchNorm/moving_variance",
+        }.get(leaf)
+
+    leaf = parts[-1]
+    if parts[1] == "stem":
+        if parts[2] == "conv" and leaf == "kernel":
+            return "MobilenetV1/Conv2d_0/weights"
+        if parts[2] == "bn" and bn_suffix(leaf):
+            return f"MobilenetV1/Conv2d_0/{bn_suffix(leaf)}"
+        return None
+    if parts[1].startswith("block_"):
+        i = int(parts[1].split("_")[1]) + 1  # slim numbers from 1
+        kind = {"depthwise": "depthwise", "pointwise": "pointwise"}.get(
+            parts[2]
+        )
+        if kind is None:
+            return None
+        base = f"MobilenetV1/Conv2d_{i}_{kind}"
+        if parts[3] == "conv" and leaf == "kernel":
+            w = "depthwise_weights" if kind == "depthwise" else "weights"
+            return f"{base}/{w}"
+        if parts[3] == "bn" and bn_suffix(leaf):
+            return f"{base}/{bn_suffix(leaf)}"
+    return None
+
+
 def import_tf_checkpoint(
     checkpoint_path: str,
     flax_params: Any,

@@ -83,3 +83,18 @@ def test_import_tf_checkpoint_shape_mismatch_raises():
                 {"backbone/stem/conv/kernel":
                  "w/.ATTRIBUTES/VARIABLE_VALUE"},
             )
+
+
+def test_mobilenet_slim_name_map():
+    from multiposenet_tpu.infer.export import mobilenet_v1_slim_name_map as m
+
+    assert m("backbone/stem/conv/kernel") == "MobilenetV1/Conv2d_0/weights"
+    assert m("backbone/stem/bn/scale") == "MobilenetV1/Conv2d_0/BatchNorm/gamma"
+    assert (m("backbone/block_0/depthwise/conv/kernel")
+            == "MobilenetV1/Conv2d_1_depthwise/depthwise_weights")
+    assert (m("backbone/block_2/pointwise/conv/kernel")
+            == "MobilenetV1/Conv2d_3_pointwise/weights")
+    assert (m("backbone/block_12/pointwise/bn/mean")
+            == "MobilenetV1/Conv2d_13_pointwise/BatchNorm/moving_mean")
+    assert m("fpn/lateral_C2/kernel") is None
+    assert m("backbone/stem/conv/bias") is None
