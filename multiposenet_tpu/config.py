@@ -39,6 +39,10 @@ class ModelConfig:
     # Compute dtype for inference ("bfloat16" on TPU, "float32" for parity
     # tests). Parameters always live in float32.
     compute_dtype: str = "float32"
+    # Inference-only: BatchNorm folded into conv kernel+bias (the
+    # reference's freeze-graph pass; see infer/folding.py). A bn_folded
+    # model consumes the tree produced by fold_batch_norm and cannot train.
+    bn_folded: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,6 +55,7 @@ class Predictor:
         image_size: int | None = None,
         rng_seed: int = 0,
         use_pallas_decode: bool | None = None,
+        fold_bn: bool = False,
     ):
         self.config = config or Config()
         self.image_size = image_size or self.config.train.image_size
@@ -65,6 +66,23 @@ class Predictor:
                 (1, self.image_size, self.image_size, 3), jnp.float32
             )
             variables = self.model.init(rng, dummy, train=False)
+        if fold_bn and not self.config.model.bn_folded:
+            # Freeze-graph-style export optimization: BN baked into conv
+            # kernel+bias, model switched to its bn_folded flavor
+            # (infer/folding.py).
+            import dataclasses
+
+            from multiposenet_tpu.infer.folding import fold_batch_norm
+
+            variables = fold_batch_norm(
+                variables, epsilon=self.config.model.bn_epsilon
+            )
+            self.config = self.config.replace(
+                model=dataclasses.replace(self.config.model,
+                                          bn_folded=True)
+            )
+            self.model = MultiPoseNet(config=self.config,
+                                      with_detector=True)
         self.variables = variables
 
         cfg = self.config

@@ -41,6 +41,8 @@ class _DepthwiseConv3x3(nn.Module):
     """
 
     strides: tuple[int, int] = (1, 1)
+    use_bias: bool = False   # True in the BN-folded inference flavor
+    relu6: bool = False      # fused activation (BN-folded flavor only)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -52,6 +54,11 @@ class _DepthwiseConv3x3(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, 1, c),
             jnp.float32,
         ).astype(self.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (c,), jnp.float32
+            )
         x = x.astype(self.dtype)
         # The Pallas kernel wins on large spatial maps (bandwidth-bound);
         # at the deep low-resolution levels (<=32^2) its per-row loop
@@ -59,16 +66,25 @@ class _DepthwiseConv3x3(nn.Module):
         if (
             self.strides == (1, 1)
             and x.shape[1] >= 64
-            and depthwise_pallas.use_pallas_depthwise(train)
+            and depthwise_pallas.use_pallas_depthwise(
+                train, folded=self.use_bias
+            )
         ):
-            return depthwise_pallas.depthwise_conv3x3(x, kernel)
+            return depthwise_pallas.depthwise_conv3x3(
+                x, kernel, bias=bias, relu6=self.relu6
+            )
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
         )
-        return jax.lax.conv_general_dilated(
+        x = jax.lax.conv_general_dilated(
             x, kernel, self.strides, "SAME", dimension_numbers=dn,
             feature_group_count=c,
         )
+        if bias is not None:
+            x = x + bias.astype(x.dtype)
+        if self.relu6:
+            x = jnp.clip(x, 0.0, jnp.asarray(6.0, x.dtype))
+        return x
 
 
 class ConvBNRelu6(nn.Module):
@@ -80,18 +96,27 @@ class ConvBNRelu6(nn.Module):
     groups: int = 1
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
+    bn_folded: bool = False  # inference flavor: conv(kernel, bias)+relu6
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if (
+        assert not (self.bn_folded and train), "folded BN cannot train"
+        is_dw = (
             self.groups > 1
             and self.groups == x.shape[-1] == self.features
             and self.kernel == (3, 3)
-        ):
+        )
+        if is_dw:
             x = _DepthwiseConv3x3(
-                strides=self.strides, dtype=self.dtype, name="conv"
+                strides=self.strides,
+                use_bias=self.bn_folded,
+                relu6=self.bn_folded,  # fused epilogue when folded
+                dtype=self.dtype,
+                name="conv",
             )(x, train=train)
+            if self.bn_folded:
+                return x  # bias + relu6 already applied
         else:
             x = nn.Conv(
                 self.features,
@@ -99,17 +124,18 @@ class ConvBNRelu6(nn.Module):
                 strides=self.strides,
                 padding="SAME",
                 feature_group_count=self.groups,
-                use_bias=False,
+                use_bias=self.bn_folded,
                 dtype=self.dtype,
                 name="conv",
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=self.bn_epsilon,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        if not self.bn_folded:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         return jnp.minimum(nn.relu(x), jnp.asarray(6.0, x.dtype))
 
 
@@ -120,6 +146,7 @@ class DepthwiseSeparable(nn.Module):
     strides: tuple[int, int] = (1, 1)
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
+    bn_folded: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -132,6 +159,7 @@ class DepthwiseSeparable(nn.Module):
             groups=in_ch,
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
+            bn_folded=self.bn_folded,
             dtype=self.dtype,
             name="depthwise",
         )(x, train=train)
@@ -140,6 +168,7 @@ class DepthwiseSeparable(nn.Module):
             kernel=(1, 1),
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
+            bn_folded=self.bn_folded,
             dtype=self.dtype,
             name="pointwise",
         )(x, train=train)
@@ -171,6 +200,7 @@ class MobileNetV1(nn.Module):
     min_channels: int = 8
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
+    bn_folded: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -187,6 +217,7 @@ class MobileNetV1(nn.Module):
             strides=(2, 2),
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
+            bn_folded=self.bn_folded,
             dtype=self.dtype,
             name="stem",
         )(x, train=train)
@@ -198,6 +229,7 @@ class MobileNetV1(nn.Module):
                 strides=(s, s),
                 bn_momentum=self.bn_momentum,
                 bn_epsilon=self.bn_epsilon,
+                bn_folded=self.bn_folded,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, train=train)

@@ -39,6 +39,7 @@ class MultiPoseNet(nn.Module):
             min_channels=cfg.model.min_backbone_channels,
             bn_momentum=cfg.model.bn_momentum,
             bn_epsilon=cfg.model.bn_epsilon,
+            bn_folded=cfg.model.bn_folded,
             dtype=dtype,
             name="backbone",
         )

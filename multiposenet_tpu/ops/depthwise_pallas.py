@@ -33,18 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 _STRIP_ROWS = 32
 
 
-def use_pallas_depthwise(train: bool) -> bool:
-    """Fast path gate — OPT-IN via MULTIPOSENET_PALLAS_DW=1.
+def use_pallas_depthwise(train: bool, folded: bool = False) -> bool:
+    """Fast path gate.
 
-    Measured on v5e: standalone the kernel beats XLA's depthwise lowering
-    1.5-1.8x (it is bandwidth-bound; XLA sustains ~70 GB/s), but INSIDE the
-    full model the custom call breaks XLA's dw-conv+BN+ReLU6 fusion and the
-    net effect is a regression (91 ms → 142 ms for the bs=128 pipeline).
-    Kept as infrastructure: it becomes a win once BN folding moves into the
-    kernel (then the fusion XLA loses is performed inside the kernel).
+    Measured on v5e (bs=128 512x512 pipeline): standalone the kernel beats
+    XLA's depthwise lowering 1.5-1.8x (it is bandwidth-bound; XLA sustains
+    ~70 GB/s), but IN-MODEL it regresses — 91 ms → 142 ms unfolded, and
+    91 ms → 202 ms even with the bias+ReLU6 epilogue fused in-kernel
+    (folded BN). The loss is not the epilogue fusion; XLA inserts layout
+    conversions around every custom call between its internally-tiled conv
+    layouts and the kernel's row-major NHWC. Strictly opt-in via
+    MULTIPOSENET_PALLAS_DW=1 until the kernel speaks XLA's native tiling.
     """
     import os
 
+    del folded
     if train or not os.environ.get("MULTIPOSENET_PALLAS_DW"):
         return False
     try:
@@ -53,7 +56,8 @@ def use_pallas_depthwise(train: bool) -> bool:
         return False
 
 
-def _dw_kernel(x_ref, top_ref, bot_ref, w_ref, out_ref, pad_ref):
+def _dw_kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, out_ref, pad_ref,
+               *, relu6: bool):
     """One H-strip: x[1, Hb, W, C] ⊛ w[3, 3, 1, C] → out[1, Hb, W, C].
 
     top_ref/bot_ref are [1, 1, W, C] halo rows (the row above/below the
@@ -93,23 +97,39 @@ def _dw_kernel(x_ref, top_ref, bot_ref, w_ref, out_ref, pad_ref):
             for dx in (-1, 0, 1):
                 tap = w_ref[dy, dx + 1, 0].astype(jnp.float32)  # [C]
                 acc = acc + shift_w(row, dx) * tap
+        acc = acc + b_ref[0].astype(jnp.float32)  # folded BN bias (or 0)
+        if relu6:
+            acc = jnp.clip(acc, 0.0, 6.0)
         out_ref[0, y] = acc.astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, hb, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("relu6", "interpret")
+)
 def depthwise_conv3x3(
-    x: jnp.ndarray, kernel: jnp.ndarray, interpret: bool = False
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    relu6: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """NHWC depthwise 3x3, stride 1, SAME — parity with
-    lax.conv_general_dilated(feature_group_count=C).
+    lax.conv_general_dilated(feature_group_count=C), with optional fused
+    bias add + ReLU6 (the folded-BN inference epilogue — keeping it inside
+    the kernel recovers the elementwise fusion XLA loses around custom
+    calls).
 
-    x: [B, H, W, C]; kernel: [3, 3, 1, C] (HWIO depthwise layout).
+    x: [B, H, W, C]; kernel: [3, 3, 1, C] (HWIO depthwise layout);
+    bias: [C] or None.
     """
     b, h, w, c = x.shape
     assert kernel.shape == (3, 3, 1, c), kernel.shape
+    if bias is None:
+        bias = jnp.zeros((c,), jnp.float32)
+    bias2d = bias.reshape(1, c)
     hb = min(_STRIP_ROWS, h)
     assert h % hb == 0, (h, hb)
     n_h = h // hb
@@ -128,13 +148,15 @@ def depthwise_conv3x3(
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        _dw_kernel,
+        functools.partial(_dw_kernel, relu6=relu6),
         grid=(b, n_h),
         in_specs=[
             strip,
             top,
             bot,
             pl.BlockSpec((3, 3, 1, c), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=strip,
@@ -146,4 +168,4 @@ def depthwise_conv3x3(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, x, kernel)
+    )(x, x, x, kernel, bias2d)

@@ -98,3 +98,29 @@ def test_mobilenet_slim_name_map():
             == "MobilenetV1/Conv2d_13_pointwise/BatchNorm/moving_mean")
     assert m("fpn/lateral_C2/kernel") is None
     assert m("backbone/stem/conv/bias") is None
+
+
+def test_bn_folding_preserves_outputs():
+    """Folded-BN inference flavor must reproduce the unfolded model."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multiposenet_tpu.infer.folding import fold_batch_norm
+
+    cfg = tiny_cfg()
+    pred = Predictor(config=cfg, image_size=128, rng_seed=3)
+    img = np.random.RandomState(0).randint(0, 255, (128, 128, 3),
+                                           dtype=np.uint8)
+    hm_ref = pred.predict_heatmaps(img)
+
+    folded = Predictor(config=cfg, image_size=128, rng_seed=3,
+                       fold_bn=True)
+    assert folded.config.model.bn_folded
+    # No BN params remain in the folded tree.
+    leaves = jax.tree_util.tree_flatten_with_path(
+        folded.variables["params"]
+    )[0]
+    assert not any("bn" in jax.tree_util.keystr(p) for p, _ in leaves)
+    hm_folded = folded.predict_heatmaps(img)
+    np.testing.assert_allclose(hm_folded, hm_ref, rtol=1e-4, atol=1e-4)
