@@ -4,8 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 5000 images/sec/chip on v5e (BASELINE.json:2,5); the e2e
 pipeline is: on-device preprocess (normalize) → MobileNet/FPN backbone →
 keypoint heatmaps + person detector → fused heatmap decode (Pallas on TPU)
-→ PRN keypoint-to-person assignment → per-person keypoints, measured with
-jax.block_until_ready on pre-staged device batches (chip throughput; host
+→ PRN keypoint-to-person assignment → per-person keypoints, measured on
+pre-staged device batches with a host-fetch fence (chip throughput; host
 JPEG decode runs on worker threads and overlaps in production).
 
 Sub-benchmarks for the judged configs: `python bench.py --config N`
@@ -277,11 +277,50 @@ def bench_config_5(batch_size: int = 64) -> dict:
     }
 
 
+def bench_train(batch_size: int = 32, image_size: int = 256) -> dict:
+    """Training-step throughput (forward+losses+grads+optimizer+EMA)."""
+    import jax
+    import jax.numpy as jnp
+    from multiposenet_tpu.config import Config, ModelConfig, TrainConfig
+    from multiposenet_tpu.data.loader import make_batch
+    from multiposenet_tpu.data.synthetic import make_dataset
+    from multiposenet_tpu.train import steps as steps_lib
+
+    cfg = Config(
+        model=ModelConfig(),
+        train=TrainConfig(image_size=image_size, batch_size=batch_size,
+                          num_steps=1000, warmup_steps=10),
+    )
+    state = steps_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    records = make_dataset(batch_size, img_h=image_size, img_w=image_size,
+                           seed=0)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_batch(records, image_size,
+                               cfg.prn.max_persons, train=False).items()
+    }
+    step = jax.jit(steps_lib.make_train_step(cfg))
+    holder = [state]
+
+    def run():
+        holder[0], metrics = step(holder[0], batch)
+        return metrics["total_loss"]
+
+    sec = _timeit(run, 10)
+    return {
+        "metric": f"train_images_per_sec_{image_size}",
+        "value": round(batch_size / sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+    }
+
+
 def main() -> None:
     _enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=0,
-                        help="judged config 1..5; 0 = headline e2e")
+                        help="judged config 1..5; 6 = train step; "
+                             "0 = headline e2e")
     parser.add_argument("--batch-size", type=int, default=128)
     args = parser.parse_args()
 
@@ -289,7 +328,8 @@ def main() -> None:
         result = bench_e2e(batch_size=args.batch_size)
     else:
         result = [bench_config_1, bench_config_2, bench_config_3,
-                  bench_config_4, bench_config_5][args.config - 1]()
+                  bench_config_4, bench_config_5,
+                  bench_train][args.config - 1]()
     print(json.dumps(result))
 
 

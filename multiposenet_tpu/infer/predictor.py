@@ -56,6 +56,7 @@ class Predictor:
         rng_seed: int = 0,
         use_pallas_decode: bool | None = None,
         fold_bn: bool = False,
+        flip_tta: bool = False,
     ):
         self.config = config or Config()
         self.image_size = image_size or self.config.train.image_size
@@ -113,6 +114,7 @@ class Predictor:
                 jax.default_backend() == "tpu" and hm % 128 == 0
             )
         self.use_pallas_decode = use_pallas_decode
+        self.flip_tta = flip_tta
         self._kp_forward = jax.jit(self._kp_forward_impl)
         self._full_forward = jax.jit(self._full_forward_impl)
 
@@ -131,7 +133,7 @@ class Predictor:
     ) -> dict[str, jnp.ndarray]:
         """uint8 [H, W, 3] → heatmaps + decoded peaks, one XLA program."""
         x, scale = resize_pad_normalize(image, self.image_size)
-        out = self.model.apply(variables, x[None], train=False)
+        out = self._forward_heatmaps(variables, x[None])
         peaks = self._decode(out["heatmaps"])
         peaks = decode_ops.peaks_to_image_coords(
             peaks, self.config.model.output_stride
@@ -185,7 +187,7 @@ class Predictor:
     ) -> dict[str, jnp.ndarray]:
         cfg = self.config
         x, scale = resize_pad_normalize(image, self.image_size)
-        out = self.model.apply(variables, x[None], train=False)
+        out = self._forward_heatmaps(variables, x[None])
 
         detections = postprocess_detections(
             out["detector"], self.image_size, cfg.detector
@@ -259,6 +261,23 @@ class Predictor:
     # data-parallel over the ICI mesh, one XLA program.
     # ---------------------------------------------------------------- #
 
+    def _forward_heatmaps(
+        self, variables: Any, x: jnp.ndarray
+    ) -> dict[str, Any]:
+        """Model forward, optionally averaging heatmaps with a horizontal
+        flip pass (flip test-time augmentation: flipped image → flip the
+        heatmaps back and swap L/R keypoint channels — the reference
+        community's standard OKS-AP booster)."""
+        out = self.model.apply(variables, x, train=False)
+        if self.flip_tta:
+            from multiposenet_tpu.utils.constants import FLIP_PERMUTATION
+
+            out_f = self.model.apply(variables, x[:, :, ::-1], train=False)
+            hm_f = out_f["heatmaps"][:, :, ::-1]
+            hm_f = hm_f[..., jnp.asarray(FLIP_PERMUTATION)]
+            out["heatmaps"] = 0.5 * (out["heatmaps"] + hm_f)
+        return out
+
     def _batch_forward_impl(
         self, variables: Any, prn_variables: Any, images: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
@@ -274,7 +293,7 @@ class Predictor:
             x = image_ops.normalize(images)
         else:
             x = image_ops.resize_normalize_batch(images, self.image_size)
-        out = self.model.apply(variables, x, train=False)
+        out = self._forward_heatmaps(variables, x)
 
         peaks = self._decode(out["heatmaps"])
         detections = postprocess_detections(

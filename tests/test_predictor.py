@@ -143,3 +143,21 @@ def test_batch_runner_accepts_staging_shape():
     images = rng.randint(0, 255, (8, 192, 192, 3), dtype=np.uint8)
     out = run(images)
     assert out["keypoints"].shape[0] == 8
+
+
+def test_flip_tta_consistency():
+    """With flip TTA, a horizontally mirrored image must produce mirrored
+    heatmaps (the averaged map is flip-equivariant by construction)."""
+    from multiposenet_tpu.utils.constants import FLIP_PERMUTATION
+
+    cfg = Config(
+        model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                          head_channels=32),
+    )
+    pred = Predictor(config=cfg, image_size=128, flip_tta=True)
+    img = np.random.RandomState(0).randint(0, 255, (128, 128, 3),
+                                           dtype=np.uint8)
+    hm = pred.predict_heatmaps(img)
+    hm_m = pred.predict_heatmaps(img[:, ::-1])
+    back = hm_m[:, ::-1][..., FLIP_PERMUTATION]
+    np.testing.assert_allclose(back, hm, rtol=1e-4, atol=1e-5)
