@@ -87,6 +87,38 @@ class _DepthwiseConv3x3(nn.Module):
         return x
 
 
+class _PointwiseConv(nn.Module):
+    """1x1 conv as an explicit channel matmul, same param tree as nn.Conv.
+
+    Measured on v5e (bf16, [128,128,128,128]): lax.conv for 1x1 kernels
+    runs at 14 TFLOP/s while the equivalent dot_general hits 22 TFLOP/s —
+    XLA picks a poor conv algorithm for narrow pointwise convs. Pure XLA
+    (no custom call), so surrounding fusion is preserved.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, c,
+                                                       self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        y = jnp.einsum("bhwc,co->bhwo", x, kernel[0, 0])
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvBNRelu6(nn.Module):
     """Conv → BatchNorm → ReLU6, the MobileNet building block."""
 
@@ -117,6 +149,15 @@ class ConvBNRelu6(nn.Module):
             )(x, train=train)
             if self.bn_folded:
                 return x  # bias + relu6 already applied
+        elif self.kernel == (1, 1) and self.groups == 1 and (
+            self.strides == (1, 1)
+        ):
+            x = _PointwiseConv(
+                self.features,
+                use_bias=self.bn_folded,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         else:
             x = nn.Conv(
                 self.features,
