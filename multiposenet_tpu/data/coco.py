@@ -29,15 +29,16 @@ from multiposenet_tpu.utils.constants import NUM_KEYPOINTS
 
 def load_coco_keypoints(
     annotations_path: str | Path,
-    min_keypoints: int = 1,
     skip_crowd_only_images: bool = False,
 ) -> list[dict]:
     """Parse a COCO person_keypoints_*.json into per-image records.
 
     Images with no person annotation are dropped (the reference "filters
-    person images", SURVEY.md §2 Data prep). Crowd annotations are kept and
-    flagged — training uses them for loss masks, eval ignores them for
-    matching.
+    person images", SURVEY.md §2 Data prep). ALL persons are kept, including
+    crowd and keypoint-less ones: crowd is flagged per-person, and persons
+    with zero labeled keypoints are masked out of the heatmap loss on device
+    (train/steps.py `_device_targets`) rather than filtered here — they still
+    train the detector and the segmentation aux head.
     """
     with open(annotations_path) as f:
         data = json.load(f)
@@ -61,10 +62,6 @@ def load_coco_keypoints(
                 dtype=np.float32,
             ).reshape(NUM_KEYPOINTS, 3)
             crowd = bool(ann.get("iscrowd", 0))
-            if not crowd and int((k[:, 2] > 0).sum()) < min_keypoints:
-                # Persons with no labeled keypoints still matter for the
-                # loss mask; keep them but they carry v=0 rows.
-                pass
             x, y, w, h = ann["bbox"]
             kps.append(k)
             boxes.append([y, x, y + h, x + w])

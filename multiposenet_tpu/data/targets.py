@@ -145,13 +145,18 @@ def label_anchors(
         jnp.where(best_iou < match_low, 0.0, -1.0),
     )
     # Force-match: the argmax anchor of each valid GT becomes positive and
-    # regresses toward that GT (ties between GTs: last write wins).
+    # regresses toward that GT (ties between GTs: last write wins). Invalid
+    # (padded) GTs all argmax to anchor 0; scatter order between duplicate
+    # indices is unspecified, so route their writes to an overflow slot n
+    # instead of letting a False/stale write clobber anchor 0.
     best_anchor = jnp.argmax(iou, axis=0)          # [P]
-    force = jnp.zeros((n,), bool).at[best_anchor].set(gt_valid)
+    safe_anchor = jnp.where(gt_valid, best_anchor, n)
+    force = jnp.zeros((n + 1,), bool).at[safe_anchor].set(True)[:n]
     cls = jnp.where(force, 1.0, cls)
     p_idx = jnp.arange(gt_boxes.shape[0])
-    best_gt = best_gt.at[best_anchor].set(
-        jnp.where(gt_valid, p_idx, best_gt[best_anchor])
+    best_gt = (
+        jnp.concatenate([best_gt, jnp.zeros((1,), best_gt.dtype)])
+        .at[safe_anchor].set(p_idx)[:n]
     )
 
     matched_boxes = gt_boxes[best_gt]              # [N, 4]

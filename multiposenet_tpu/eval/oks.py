@@ -8,16 +8,26 @@ published COCO keypoint evaluation protocol from its specification:
   * OKS(dt, gt) = mean over labeled gt keypoints of
         exp( -d_i^2 / (2 * s^2 * k_i^2) ),
     with k_i = 2 * sigma_i (constants.OKS_SIGMAS), s^2 = gt area.
+    GTs with NO labeled keypoints (typical for crowd regions) fall back to
+    pycocotools' expanded-bbox distance: d_i is how far the detection
+    keypoint lies outside the gt box grown by its own width/height on each
+    side — this is what lets keypoint-less crowds absorb detections.
   * Greedy matching per image: detections sorted by score; each detection
-    takes the unmatched GT with the highest OKS above the threshold
-    (crowd/ignore GTs can be matched last and remove the detection from
-    scoring).
+    takes the not-yet-taken GT with the highest OKS >= the threshold
+    (equal OKS: later GT index wins, matching pycocotools' replace-on->=
+    scan). Non-ignored GTs are preferred over ignored ones; crowd GTs can
+    absorb any number of detections; detections matched only to ignored
+    GTs are excluded from scoring.
+  * Unmatched detections whose own area (keypoint extent, as computed by
+    pycocotools' loadRes) falls outside the evaluated area range are
+    ignored rather than counted as false positives.
   * Precision/recall accumulated over OKS thresholds 0.50:0.05:0.95,
     area ranges (all / medium / large), maxDets=20; AP is the mean of
     precision interpolated at 101 recall points.
 
 Matches pycocotools' documented behavior; validated against hand-computed
-cases in tests/test_oks.py.
+cases in tests/test_oks.py. All O(D*G*17) work is vectorized NumPy; the only
+Python loop left is the greedy scan over <=maxDets detections per image.
 """
 
 from __future__ import annotations
@@ -41,45 +51,90 @@ MAX_DETS = 20
 
 @dataclasses.dataclass
 class GroundTruth:
-    """One GT person: keypoints[17, 3] (x, y, v), area, iscrowd."""
+    """One GT person: keypoints[17, 3] (x, y, v), area, iscrowd.
+
+    `bbox` is (x, y, w, h) in pixels; it is only consulted when the GT has
+    no labeled keypoints (pycocotools' expanded-bbox OKS branch). Without it
+    such GTs score 0 against everything, exactly like a gt record lacking a
+    bbox would in pycocotools.
+    """
 
     keypoints: np.ndarray
     area: float
     iscrowd: bool = False
+    bbox: np.ndarray | None = None
 
 
 @dataclasses.dataclass
 class DetectionKP:
-    """One detected person: keypoints[17, 3] (x, y, score), score."""
+    """One detected person: keypoints[17, 3] (x, y, score), score.
+
+    `area` defaults to the keypoint-extent area — the same quantity
+    pycocotools' loadRes computes for keypoint result files — and is used
+    to ignore unmatched detections outside the evaluated area range.
+    """
 
     keypoints: np.ndarray
     score: float
+    area: float | None = None
 
 
-def compute_oks(
-    dt_keypoints: np.ndarray, gt: GroundTruth
-) -> float:
-    """OKS between one detection and one GT (0 if GT has no labeled kps)."""
-    v = gt.keypoints[:, 2]
-    labeled = v > 0
-    if not labeled.any():
-        return 0.0
-    dx = dt_keypoints[labeled, 0] - gt.keypoints[labeled, 0]
-    dy = dt_keypoints[labeled, 1] - gt.keypoints[labeled, 1]
-    k2 = (2.0 * OKS_SIGMAS[labeled]) ** 2
-    s2 = max(gt.area, 1e-9)
-    e = (dx**2 + dy**2) / (2.0 * s2 * k2)
-    return float(np.mean(np.exp(-e)))
+def _dt_area(dt: DetectionKP) -> float:
+    if dt.area is not None:
+        return float(dt.area)
+    x = dt.keypoints[:, 0]
+    y = dt.keypoints[:, 1]
+    return float((x.max() - x.min()) * (y.max() - y.min()))
 
 
 def _oks_matrix(
     dts: Sequence[DetectionKP], gts: Sequence[GroundTruth]
 ) -> np.ndarray:
-    m = np.zeros((len(dts), len(gts)))
-    for i, dt in enumerate(dts):
-        for j, gt in enumerate(gts):
-            m[i, j] = compute_oks(dt.keypoints, gt)
-    return m
+    """OKS for every detection/GT pair → [D, G]."""
+    d_count, g_count = len(dts), len(gts)
+    if d_count == 0 or g_count == 0:
+        return np.zeros((d_count, g_count))
+    dt = np.stack([d.keypoints for d in dts]).astype(np.float64)  # [D,17,3]
+    gt = np.stack([g.keypoints for g in gts]).astype(np.float64)  # [G,17,3]
+    areas = np.array([max(g.area, 1e-9) for g in gts])            # [G]
+    k2 = (2.0 * OKS_SIGMAS) ** 2                                  # [17]
+
+    labeled = gt[:, :, 2] > 0                                     # [G,17]
+    n_labeled = labeled.sum(axis=1)                               # [G]
+    dx = dt[:, None, :, 0] - gt[None, :, :, 0]                    # [D,G,17]
+    dy = dt[:, None, :, 1] - gt[None, :, :, 1]
+    e = (dx**2 + dy**2) / (2.0 * areas[None, :, None] * k2)
+    oks = (
+        (np.exp(-e) * labeled[None]).sum(axis=2)
+        / np.maximum(n_labeled[None], 1)
+    )                                                             # [D,G]
+
+    # pycocotools branch for GTs with zero labeled keypoints: measure each
+    # detection keypoint's distance OUTSIDE the gt bbox expanded by its own
+    # width/height on every side.
+    for gi in np.flatnonzero(n_labeled == 0):
+        bb = gts[gi].bbox
+        if bb is None:
+            oks[:, gi] = 0.0
+            continue
+        x0, x1 = bb[0] - bb[2], bb[0] + 2.0 * bb[2]
+        y0, y1 = bb[1] - bb[3], bb[1] + 2.0 * bb[3]
+        dxz = np.clip(x0 - dt[:, :, 0], 0, None) + np.clip(
+            dt[:, :, 0] - x1, 0, None
+        )
+        dyz = np.clip(y0 - dt[:, :, 1], 0, None) + np.clip(
+            dt[:, :, 1] - y1, 0, None
+        )
+        ez = (dxz**2 + dyz**2) / (2.0 * areas[gi] * k2[None, :])
+        oks[:, gi] = np.exp(-ez).mean(axis=1)
+    return oks
+
+
+def compute_oks(dt_keypoints: np.ndarray, gt: GroundTruth) -> float:
+    """OKS between one detection and one GT."""
+    return float(
+        _oks_matrix([DetectionKP(dt_keypoints, 0.0)], [gt])[0, 0]
+    )
 
 
 def _evaluate_image(
@@ -87,13 +142,15 @@ def _evaluate_image(
     gts: Sequence[GroundTruth],
     area_range: tuple[float, float],
     max_dets: int,
+    oks_full: np.ndarray | None = None,
 ):
-    """Greedy OKS matching for one image over all thresholds.
+    """Greedy OKS matching for one image over all thresholds at once.
 
     Returns (dt_scores[D], dt_matched[T, D], dt_ignore[T, D],
     num_gt_not_ignored). GTs are 'ignored' if crowd, unlabeled, or outside
-    the area range; detections matched only to ignored GTs are excluded
-    from scoring (pycocotools semantics).
+    the area range; detections matched only to ignored GTs — or unmatched
+    with their own area outside the range — are excluded from scoring
+    (pycocotools semantics).
     """
     order = np.argsort([-d.score for d in dts], kind="stable")[:max_dets]
     dts = [dts[i] for i in order]
@@ -108,32 +165,57 @@ def _evaluate_image(
     gt_order = np.argsort(gt_ignore, kind="stable")
     gts = [gts[i] for i in gt_order]
     gt_ignore = gt_ignore[gt_order]
+    gt_crowd = np.array([g.iscrowd for g in gts], dtype=bool)
 
-    oks = _oks_matrix(dts, gts)
+    # The OKS matrix is area-range independent; callers evaluating several
+    # ranges pass the precomputed full matrix (original dt/gt order).
+    if oks_full is None:
+        oks = _oks_matrix(dts, gts)
+    else:
+        oks = oks_full[np.ix_(order, gt_order)]
     t_count = len(OKS_THRESHOLDS)
     d_count = len(dts)
     g_count = len(gts)
     dt_matched = np.zeros((t_count, d_count), dtype=bool)
     dt_ignore = np.zeros((t_count, d_count), dtype=bool)
 
-    for ti, thr in enumerate(OKS_THRESHOLDS):
-        gt_taken = np.zeros(g_count, dtype=bool)
-        for di in range(d_count):
-            best, best_oks = -1, float(thr)
-            for gi in range(g_count):
-                if gt_taken[gi] and not gts[gi].iscrowd:
-                    continue
-                # Once matched to a real GT, don't downgrade to ignored.
-                if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                    break
-                if oks[di, gi] >= best_oks:
-                    best_oks = oks[di, gi]
-                    best = gi
-            if best == -1:
-                continue
-            gt_taken[best] = True
-            dt_matched[ti, di] = True
-            dt_ignore[ti, di] = gt_ignore[best]
+    thr = OKS_THRESHOLDS[:, None]                    # [T, 1]
+    t_idx = np.arange(t_count)
+    gt_taken = np.zeros((t_count, g_count), dtype=bool)
+
+    def last_argmax(vals):
+        """Per-row argmax; ties pick the LAST index (pycocotools' >= scan).
+        Rows that are all -inf return -1."""
+        mx = vals.max(axis=1)
+        last = (
+            vals.shape[1] - 1
+            - np.argmax(vals[:, ::-1] == mx[:, None], axis=1)
+        )
+        return np.where(np.isfinite(mx), last, -1), mx
+
+    for di in range(d_count if g_count else 0):
+        avail = ~gt_taken | gt_crowd[None]
+        vals = np.where(avail & (oks[di][None] >= thr), oks[di][None],
+                        -np.inf)                     # [T, G]
+        real_best, real_mx = last_argmax(
+            np.where(~gt_ignore[None], vals, -np.inf)
+        )
+        ign_best, ign_mx = last_argmax(
+            np.where(gt_ignore[None], vals, -np.inf)
+        )
+        # Prefer any qualifying non-ignored GT over ignored ones.
+        best = np.where(real_best >= 0, real_best, ign_best)
+        hit = best >= 0
+        chosen = np.where(hit, best, 0)
+        gt_taken[t_idx[hit], chosen[hit]] = True
+        dt_matched[:, di] = hit
+        dt_ignore[:, di] = hit & gt_ignore[chosen]
+
+    # Unmatched detections outside the area range are ignored, not FPs.
+    if d_count:
+        dt_areas = np.array([_dt_area(d) for d in dts])
+        outside = (dt_areas < area_range[0]) | (dt_areas >= area_range[1])
+        dt_ignore |= ~dt_matched & outside[None]
 
     dt_scores = np.array([d.score for d in dts])
     num_gt = int((~gt_ignore).sum())
@@ -167,7 +249,7 @@ def _accumulate(per_image: list) -> tuple[np.ndarray, np.ndarray]:
 
     for ti in range(t_count):
         keep = ~ignored[ti]
-        tp = np.cumsum(matched[ti][keep] & ~ignored[ti][keep])
+        tp = np.cumsum(matched[ti][keep])
         fp = np.cumsum(~matched[ti][keep])
         if len(tp) == 0:
             recall[ti] = 0.0
@@ -177,8 +259,7 @@ def _accumulate(per_image: list) -> tuple[np.ndarray, np.ndarray]:
         pr = tp / np.maximum(tp + fp, 1e-12)
         recall[ti] = rc[-1]
         # Monotone-decreasing envelope, then 101-point interpolation.
-        for i in range(len(pr) - 1, 0, -1):
-            pr[i - 1] = max(pr[i - 1], pr[i])
+        pr = np.maximum.accumulate(pr[::-1])[::-1]
         idx = np.searchsorted(rc, RECALL_THRESHOLDS, side="left")
         p = np.zeros(len(RECALL_THRESHOLDS))
         valid = idx < len(pr)
@@ -207,10 +288,14 @@ class KeypointEvaluator:
 
     def summarize(self) -> dict[str, float]:
         stats: dict[str, float] = {}
+        oks_cache = [
+            _oks_matrix(dts, gts) for gts, dts in self._images
+        ]
         for area_name, rng in AREA_RANGES.items():
             per_image = [
-                _evaluate_image(dts, gts, rng, self.max_dets)
-                for gts, dts in self._images
+                _evaluate_image(dts, gts, rng, self.max_dets,
+                                oks_full=oks_cache[i])
+                for i, (gts, dts) in enumerate(self._images)
             ]
             precision, recall = _accumulate(per_image)
 

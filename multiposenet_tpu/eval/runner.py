@@ -22,14 +22,16 @@ from multiposenet_tpu.infer.predictor import Predictor
 
 
 def record_ground_truths(record: dict) -> list[GroundTruth]:
-    return [
-        GroundTruth(
+    gts = []
+    for i in range(len(record["boxes"])):
+        y0, x0, y1, x1 = np.asarray(record["boxes"][i], np.float32)
+        gts.append(GroundTruth(
             keypoints=np.asarray(record["keypoints"][i], np.float32),
             area=float(record["area"][i]),
             iscrowd=bool(record["iscrowd"][i]),
-        )
-        for i in range(len(record["boxes"]))
-    ]
+            bbox=np.array([x0, y0, x1 - x0, y1 - y0], np.float32),
+        ))
+    return gts
 
 
 def evaluate_predictor(
@@ -89,16 +91,22 @@ def evaluate_batched(
             )
             scales[i] = scale
         out = run(images)
-        boxes = np.asarray(out["box_scores"])
+        scores = np.asarray(out["box_scores"])
         valid = np.asarray(out["box_valid"])
         kps = np.asarray(out["keypoints"])
         for i in range(true_n):
+            # Same output contract as Predictor.predict: keypoints in
+            # original image coords, clipped to image bounds.
+            h = chunk[i].get("height") or chunk[i]["image"].shape[0]
+            w = chunk[i].get("width") or chunk[i]["image"].shape[1]
             dts = []
             for j in np.flatnonzero(valid[i]):
                 k = kps[i, j].copy()
                 k[:, :2] /= scales[i]
+                k[:, 0] = np.clip(k[:, 0], 0.0, w - 1.0)
+                k[:, 1] = np.clip(k[:, 1], 0.0, h - 1.0)
                 dts.append(
-                    DetectionKP(keypoints=k, score=float(boxes[i, j]))
+                    DetectionKP(keypoints=k, score=float(scores[i, j]))
                 )
             ev.add_image(record_ground_truths(chunk[i]), dts)
     return ev.summarize()

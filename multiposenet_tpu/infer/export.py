@@ -126,15 +126,16 @@ def import_tf_checkpoint(
     checkpoint_path: str,
     flax_params: Any,
     name_map: Callable[[str], str | None] | Mapping[str, str],
-    transpose_conv: bool = False,
 ) -> Any:
     """Load a TF checkpoint's tensors into a flax param tree by name.
 
     `name_map` maps a flax param path (e.g.
     'backbone/block_0/depthwise/conv/kernel') to the TF variable name, or
-    None to keep the flax init. TF and flax both store conv kernels HWIO so
-    no transpose is needed by default. Returns a new param tree; raises on
-    shape mismatch so silent mis-mapping is impossible.
+    None to keep the flax init. TF and flax both store dense conv kernels
+    HWIO; TF-slim *depthwise* kernels are (H, W, C, 1) where flax's
+    grouped-conv kernel is (H, W, 1, C) — those are adapted automatically
+    when the transposed shape matches exactly. Returns a new param tree;
+    raises on any other shape mismatch so silent mis-mapping is impossible.
     """
     import tensorflow as tf  # CPU-only usage (SURVEY.md §7)
 
@@ -151,8 +152,14 @@ def import_tf_checkpoint(
             out[path] = value
             continue
         tensor = np.asarray(reader.get_tensor(tf_name))
-        if transpose_conv and tensor.ndim == 4:
-            tensor = tensor.transpose(0, 1, 2, 3)
+        if (
+            tensor.shape != value.shape
+            and tensor.ndim == 4
+            and 1 in tensor.shape[-2:]
+            and tensor.transpose(0, 1, 3, 2).shape == tuple(value.shape)
+        ):
+            # slim depthwise (H, W, C, 1) <-> flax grouped (H, W, 1, C)
+            tensor = tensor.transpose(0, 1, 3, 2)
         if tensor.shape != value.shape:
             raise ValueError(
                 f"shape mismatch importing {tf_name} -> {path}: "

@@ -45,6 +45,11 @@ class CheckpointManager:
             step, args=ocp.args.StandardSave(state), force=force
         )
 
+    def should_save(self, step: int) -> bool:
+        """Host-side interval check so the training loop only pays the
+        device→host state fetch on steps Orbax would actually persist."""
+        return bool(self._mgr.should_save(step))
+
     def restore(self, template: TrainState) -> tuple[TrainState, int]:
         """Restore the latest checkpoint into the template's structure.
         Returns (state, step); (template, 0) if none exists."""

@@ -93,7 +93,10 @@ def train(
                 metrics_file.flush()
                 if log_fn:
                     log_fn(metrics)
-            if mgr is not None:
+            # Fetching the full TrainState to host every step serializes
+            # dispatch through the axon tunnel — only pay it on steps the
+            # manager will actually persist.
+            if mgr is not None and mgr.should_save(step):
                 mgr.save(jax.device_get(state))
         if mgr is not None:
             mgr.save(jax.device_get(state), force=True)

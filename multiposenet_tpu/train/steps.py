@@ -90,9 +90,14 @@ def _device_targets(batch: dict, config: Config):
     heatmaps = targets_lib.batched_keypoint_heatmaps(
         batch["keypoints"], hm_h, hm_w, m.output_stride
     )
+    # Mask the heatmap loss inside crowd regions AND around persons with no
+    # labeled keypoints ("loss masks for unannotated/crowd regions",
+    # SURVEY.md §2 Input pipeline) — such persons have real peaks the GT
+    # can't represent. They still supervise the detector and seg aux head.
+    unlabeled = ~(batch["keypoints"][..., 2] > 0).any(axis=-1)
     mask = jax.vmap(
         lambda b, f: targets_lib.loss_mask(b, f, hm_h, hm_w, m.output_stride)
-    )(batch["boxes"], batch["valid"] & batch["iscrowd"])
+    )(batch["boxes"], batch["valid"] & (batch["iscrowd"] | unlabeled))
     seg = jax.vmap(
         lambda b, f: targets_lib.segmentation_target(
             b, f, hm_h, hm_w, m.output_stride

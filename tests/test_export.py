@@ -124,3 +124,65 @@ def test_bn_folding_preserves_outputs():
     assert not any("bn" in jax.tree_util.keystr(p) for p, _ in leaves)
     hm_folded = folded.predict_heatmaps(img)
     np.testing.assert_allclose(hm_folded, hm_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_slim_warm_start_roundtrip():
+    """Write a tiny TF checkpoint with literal TF-slim MobileNetV1 variable
+    names (incl. (3,3,C,1) depthwise kernels) and import the full backbone
+    via mobilenet_v1_slim_name_map — the offline stand-in for warm-starting
+    from the real ImageNet checkpoint (SURVEY.md §7 hard part 6)."""
+    tf = pytest.importorskip("tensorflow")
+    import flax
+
+    cfg = tiny_cfg()
+    pred = Predictor(config=cfg, image_size=64)
+    params = pred.variables["params"]
+    flat = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(params), sep="/"
+    )
+
+    rng = np.random.RandomState(0)
+    want = {}          # flax path -> expected array (flax layout)
+    slim_tensors = {}  # slim name -> stored array (slim layout)
+    n_depthwise = 0
+    for path, value in flat.items():
+        name = export.mobilenet_v1_slim_name_map(path)
+        if name is None:
+            continue
+        arr = rng.rand(*value.shape).astype(np.float32)
+        want[path] = arr
+        store = arr
+        if name.endswith("depthwise_weights"):
+            store = arr.transpose(0, 1, 3, 2)  # flax (3,3,1,C)→slim (3,3,C,1)
+            n_depthwise += 1
+        slim_tensors[name] = store
+    assert n_depthwise >= 1
+    assert len(want) > 20  # full backbone: stem + 13 blocks, conv + 4 BN each
+
+    g = tf.Graph()
+    with g.as_default():
+        tf_vars = [
+            tf.compat.v1.get_variable(name, initializer=tensor)
+            for name, tensor in slim_tensors.items()
+        ]
+        saver = tf.compat.v1.train.Saver(tf_vars)
+        with tempfile.TemporaryDirectory() as d:
+            with tf.compat.v1.Session(graph=g) as sess:
+                sess.run(tf.compat.v1.global_variables_initializer())
+                ckpt_path = saver.save(sess, d + "/model.ckpt")
+            new_params = export.import_tf_checkpoint(
+                ckpt_path, params, export.mobilenet_v1_slim_name_map
+            )
+
+    new_flat = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(new_params), sep="/"
+    )
+    for path, value in flat.items():
+        if path in want:
+            np.testing.assert_array_equal(
+                np.asarray(new_flat[path]), want[path], err_msg=path
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(new_flat[path]), np.asarray(value), err_msg=path
+            )

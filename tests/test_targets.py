@@ -77,3 +77,24 @@ def test_label_anchors_all_invalid_gt():
     valid = jnp.asarray([False, False])
     cls, _, _ = T.label_anchors(anchors, gt, valid)
     assert np.asarray(cls)[0] == 0.0  # everything negative, nothing forced
+
+
+def test_label_anchors_invalid_gt_cannot_clobber_anchor_zero():
+    """Padded GTs all argmax to anchor 0; their scatter writes must not be
+    able to drop a valid GT's force-match at anchor 0 (duplicate-index
+    scatter order is unspecified)."""
+    anchors = jnp.asarray([
+        [0.0, 0.0, 10.0, 10.0],
+        [100.0, 100.0, 110.0, 110.0],
+    ])
+    # Valid gt0's best anchor is anchor 0 at IoU ~0.45 (ignore band without
+    # force-match); many invalid padded rows also argmax to anchor 0.
+    gt = jnp.concatenate([
+        jnp.asarray([[0.0, 2.0, 10.0, 13.0]]),
+        jnp.zeros((6, 4)),
+    ])
+    valid = jnp.asarray([True] + [False] * 6)
+    cls, box_t, _ = T.label_anchors(anchors, gt, valid)
+    assert np.asarray(cls)[0] == 1.0  # force-match survived
+    back = np.asarray(box_decode(box_t[None, 0], anchors[None, 0]))[0]
+    np.testing.assert_allclose(back, [0, 2, 10, 13], atol=1e-3)
