@@ -63,15 +63,16 @@ def _timeit(fn, n_iters: int, n_warmup: int = 2) -> float:
 
 
 def make_predictor(image_size: int, bf16: bool = True):
-    from multiposenet_tpu.config import Config, DetectorConfig, ModelConfig
+    import dataclasses
+
+    from multiposenet_tpu.config import Config
     from multiposenet_tpu.infer.predictor import Predictor
 
-    cfg = Config(
-        model=ModelConfig(
-            compute_dtype="bfloat16" if bf16 else "float32"
-        ),
-        detector=DetectorConfig(),
-    )
+    cfg = Config.fast()  # the benchmarked TPU operating point
+    if not bf16:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, compute_dtype="float32")
+        )
     return Predictor(config=cfg, image_size=image_size)
 
 
@@ -81,15 +82,19 @@ def bench_e2e(batch_size: int = 64, image_size: int = 512,
     import jax
     import jax.numpy as jnp
 
+    from multiposenet_tpu.ops.image import space_to_depth_flat
+
     predictor = make_predictor(image_size)
     rng = np.random.RandomState(0)
     # Pre-stage distinct device batches (uint8) to avoid timing the axon
-    # tunnel host->device path; rotate through them.
+    # tunnel host->device path; rotate through them. Staged in the
+    # space-to-depth flat layout the loader threads produce (the [.., 3]
+    # channel layout runs at 3/128 lane density on TPU — see ops/image.py).
     n_bufs = 4
     batches = [
-        jax.device_put(jnp.asarray(rng.randint(
+        jax.device_put(jnp.asarray(space_to_depth_flat(rng.randint(
             0, 255, (batch_size, image_size, image_size, 3), dtype=np.uint8
-        )))
+        ))))
         for _ in range(n_bufs)
     ]
     fn = jax.jit(predictor._batch_forward_impl)

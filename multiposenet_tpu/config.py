@@ -28,6 +28,11 @@ class ModelConfig:
     fpn_channels: int = 128
     # Keypoint subnet per-level conv channels.
     head_channels: int = 128
+    # Convs per keypoint-subnet level tower. The reference's exact count is
+    # unrecoverable (SURVEY.md §0); 2 matches the paper's description, 1 is
+    # the TPU-fast operating point (Config.fast()) — the P2-level towers at
+    # 128^2 dominate head FLOPs.
+    kp_head_convs: int = 2
     # Heatmap output stride relative to the input image.
     output_stride: int = 4
     # Emit an auxiliary 1-channel person segmentation output (PAPER §3.2).
@@ -43,6 +48,12 @@ class ModelConfig:
     # reference's freeze-graph pass; see infer/folding.py). A bn_folded
     # model consumes the tree produced by fold_batch_norm and cannot train.
     bn_folded: bool = False
+    # Compute the stem 3x3/s2 conv as a 2x2 conv over the 2x2
+    # space-to-depth input — EXACT same arithmetic, same param tree, ~5x
+    # faster on TPU (XLA's C_in=3 conv lowering is the single most
+    # expensive op in the whole model otherwise). Auto-falls back to the
+    # plain conv for odd input sizes.
+    s2d_stem: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +78,12 @@ class DetectorConfig:
     match_high: float = 0.5
     match_low: float = 0.4
     # Inference-time decoding (fixed shapes — XLA friendly).
-    pre_nms_top_k: int = 1000
+    pre_nms_top_k: int = 512
+    # Use jax.lax.approx_max_k for the pre-NMS candidate pool (2x faster
+    # than exact top_k on TPU; recall_target 0.95 per bucket). The pool
+    # only seeds NMS for max_detections=20 outputs, so approximate
+    # membership at the pool tail is quality-neutral.
+    approx_top_k: bool = True
     # 20 = COCOeval keypoints maxDets; every padded slot costs PRN work.
     max_detections: int = 20
     nms_iou_threshold: float = 0.5
@@ -87,6 +103,11 @@ class PRNConfig:
     # Static max persons per image — dynamic person count is padded to this
     # with validity masks (SURVEY.md §7 hard part 2).
     max_persons: int = 32
+    # Sub-pixel readout: snap each PRN argmax cell center to the nearest
+    # decoded heatmap peak within this many crop-cell pitches (the decode
+    # kernel's peaks carry quarter-pixel refinement; SURVEY.md §3.4).
+    # 0 disables snapping (pure cell-center readout).
+    snap_radius_cells: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,6 +173,28 @@ class Config:
 
     def replace(self, **kwargs: Any) -> "Config":
         return dataclasses.replace(self, **kwargs)
+
+    @classmethod
+    def fast(cls, **overrides: Any) -> "Config":
+        """The benchmarked TPU operating point (see README perf notes).
+
+        Same architecture family as the defaults, with the head/PRN widths
+        chosen for v5e throughput: 1-conv keypoint towers, 2-conv 64-ch
+        detector towers, PRN hidden 512, bf16 compute. The reference's
+        exact head widths are unrecoverable (SURVEY.md §0), so both
+        operating points are first-class; quality evidence
+        (benchmarks/train_synthetic_demo.py, tests/test_integration_ap.py)
+        runs on THIS config.
+        """
+        cfg = cls(
+            model=ModelConfig(compute_dtype="bfloat16", kp_head_convs=1),
+            detector=DetectorConfig(num_convs=2, head_channels=64),
+            # Half-pitch crop grid: with sub-pixel peak snapping the PRN
+            # grid only disambiguates WHICH peak belongs to the person, so
+            # 28x18 keeps accuracy while quartering PRN cost.
+            prn=PRNConfig(hidden_units=512, crop_height=28, crop_width=18),
+        )
+        return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

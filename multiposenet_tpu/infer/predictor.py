@@ -182,6 +182,43 @@ class Predictor:
     # forward + detection + PRN assignment, one XLA program.
     # ---------------------------------------------------------------- #
 
+    def _prn_assign(
+        self, prn_variables: Any, heatmaps: jnp.ndarray,
+        hm_boxes: jnp.ndarray, peaks,
+    ) -> jnp.ndarray:
+        """Heatmaps + person boxes (+ decoded peaks) → per-person keypoints
+        [B, D, K, 3] in heatmap coordinates.
+
+        PRN argmax cells are snapped to the decode kernel's sub-pixel peaks
+        (ops/prn_ops.snap_to_peaks) — the PRN decides WHICH peak belongs to
+        this person, the peak provides the quarter-pixel position."""
+        cfg = self.config
+        crop_dtype = jnp.dtype(cfg.model.compute_dtype)
+        crops = prn_ops.batched_crop_heatmaps(
+            heatmaps, hm_boxes,
+            cfg.prn.crop_height, cfg.prn.crop_width, crop_dtype,
+        )  # [B, D, ch, cw, K]
+        b, d = crops.shape[:2]
+        flat_crops = crops.reshape(b * d, *crops.shape[2:])
+        # Logits, not softmax: argmax is identical and the softmax over
+        # [B*D, ch*cw, K] costs real HBM traffic at inference.
+        prn_out = self.prn.apply(prn_variables, flat_crops,
+                                 return_logits=True)
+        flat_boxes = hm_boxes.reshape(b * d, 4)
+        keypoints = prn_ops.keypoints_from_prn(
+            prn_out, flat_crops, flat_boxes
+        )  # [B*D, K, 3] (x, y, score) heatmap coords
+        if peaks is not None and cfg.prn.snap_radius_cells > 0:
+            keypoints = prn_ops.snap_to_peaks(
+                keypoints, flat_boxes,
+                jnp.repeat(peaks.positions, d, axis=0),
+                jnp.repeat(peaks.scores, d, axis=0),
+                jnp.repeat(peaks.valid, d, axis=0),
+                cfg.prn.crop_height, cfg.prn.crop_width,
+                cfg.prn.snap_radius_cells,
+            )
+        return keypoints.reshape(b, d, cfg.model.num_keypoints, 3)
+
     def _full_forward_impl(
         self, variables: Any, prn_variables: Any, image: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
@@ -195,22 +232,10 @@ class Predictor:
         # Person boxes in heatmap coordinates for the PRN crop.
         stride = float(cfg.model.output_stride)
         hm_boxes = detections.boxes / stride  # [1, D, 4]
-
-        crop_dtype = jnp.dtype(cfg.model.compute_dtype)
-        crops = prn_ops.batched_crop_heatmaps(
-            out["heatmaps"], hm_boxes,
-            cfg.prn.crop_height, cfg.prn.crop_width, crop_dtype,
-        )  # [1, D, ch, cw, K]
-        b, d = crops.shape[:2]
-        flat_crops = crops.reshape(b * d, *crops.shape[2:])
-        # Logits, not softmax: argmax is identical and the softmax over
-        # [B*D, ch*cw, K] costs real HBM traffic at inference.
-        prn_out = self.prn.apply(prn_variables, flat_crops,
-                                 return_logits=True)
-        keypoints = prn_ops.keypoints_from_prn(
-            prn_out, flat_crops, hm_boxes.reshape(b * d, 4)
-        )  # [B*D, K, 3] (x, y, score) heatmap coords
-        keypoints = keypoints.reshape(b, d, cfg.model.num_keypoints, 3)
+        peaks = self._decode(out["heatmaps"])
+        keypoints = self._prn_assign(
+            prn_variables, out["heatmaps"], hm_boxes, peaks
+        )
         # Heatmap coords → model-input coords.
         keypoints = keypoints.at[..., :2].multiply(stride)
         return {
@@ -272,7 +297,16 @@ class Predictor:
         if self.flip_tta:
             from multiposenet_tpu.utils.constants import FLIP_PERMUTATION
 
-            out_f = self.model.apply(variables, x[:, :, ::-1], train=False)
+            xf = x[:, :, ::-1]
+            if x.shape[-1] == 12:
+                # s2d layout: reversing the cell axis flips 2-pixel cells;
+                # also swap the px=0/1 phase channels ((py*2+px)*3+c).
+                perm = jnp.asarray([
+                    (py * 2 + (1 - px)) * 3 + c
+                    for py in (0, 1) for px in (0, 1) for c in range(3)
+                ])
+                xf = xf[..., perm]
+            out_f = self.model.apply(variables, xf, train=False)
             hm_f = out_f["heatmaps"][:, :, ::-1]
             hm_f = hm_f[..., jnp.asarray(FLIP_PERMUTATION)]
             out["heatmaps"] = 0.5 * (out["heatmaps"] + hm_f)
@@ -284,12 +318,20 @@ class Predictor:
         """Preprocess + joint forward + decode + detection + PRN for a
         uint8 batch, one XLA program.
 
-        images may be [B, S, S, 3] (host already letterboxed to the model
-        size — only normalize runs on device) or [B, Hs, Ws, 3] at a fixed
-        staging shape — then bilinear resize to the model size runs on
-        device as two constant-matrix matmuls (fused input path)."""
+        images may be:
+          * [B, S/2, S*6] — host-staged space-to-depth flat layout
+            (ops/image.space_to_depth_flat), the fast path: the device
+            normalizes at full lane density and the stem consumes the s2d
+            cells directly;
+          * [B, S, S, 3] — host already letterboxed to the model size,
+            only normalize runs on device;
+          * [B, Hs, Ws, 3] — fixed staging shape, bilinear resize to the
+            model size runs on device as two constant-matrix matmuls."""
         cfg = self.config
-        if images.shape[1:3] == (self.image_size, self.image_size):
+        dtype = jnp.dtype(cfg.model.compute_dtype)
+        if images.ndim == 3:
+            x = image_ops.normalize_s2d_flat(images, dtype)
+        elif images.shape[1:3] == (self.image_size, self.image_size):
             x = image_ops.normalize(images)
         else:
             x = image_ops.resize_normalize_batch(images, self.image_size)
@@ -301,18 +343,9 @@ class Predictor:
         )
         stride = float(cfg.model.output_stride)
         hm_boxes = detections.boxes / stride
-        crop_dtype = jnp.dtype(cfg.model.compute_dtype)
-        crops = prn_ops.batched_crop_heatmaps(
-            out["heatmaps"], hm_boxes,
-            cfg.prn.crop_height, cfg.prn.crop_width, crop_dtype,
+        keypoints = self._prn_assign(
+            prn_variables, out["heatmaps"], hm_boxes, peaks
         )
-        b, d = crops.shape[:2]
-        flat_crops = crops.reshape(b * d, *crops.shape[2:])
-        prn_out = self.prn.apply(prn_variables, flat_crops,
-                                 return_logits=True)
-        keypoints = prn_ops.keypoints_from_prn(
-            prn_out, flat_crops, hm_boxes.reshape(b * d, 4)
-        ).reshape(b, d, cfg.model.num_keypoints, 3)
         keypoints = keypoints.at[..., :2].multiply(stride)
         return {
             "boxes": detections.boxes,

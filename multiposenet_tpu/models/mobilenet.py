@@ -119,6 +119,82 @@ class _PointwiseConv(nn.Module):
         return y
 
 
+def space_to_depth_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/2, W/2, 4C]; channel order (dy, dx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_kernel_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Remap a [3, 3, C, O] stride-2 SAME stem kernel to the equivalent
+    [2, 2, 4C, O] kernel over the 2x2 space-to-depth input.
+
+    Output position (i, j) of the original conv taps x[2i+dy, 2j+dx] for
+    dy, dx in {0, 1, 2} (SAME at stride 2 with kernel 3 pads only
+    bottom/right). In s2d space that tap lives at cell (i + dy//2,
+    j + dx//2), phase (dy%2, dx%2) — a 2x2 window. The remap is exact; the
+    (dy%2==1, dx%2==1) quadrant of cell (+1, +1) is never touched and
+    stays zero.
+    """
+    c, o = kernel.shape[2], kernel.shape[3]
+    out = jnp.zeros((2, 2, 4 * c, o), kernel.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            gy, py = divmod(dy, 2)
+            gx, px = divmod(dx, 2)
+            out = out.at[gy, gx, (py * 2 + px) * c:(py * 2 + px + 1) * c
+                         ].set(kernel[dy, dx])
+    return out
+
+
+class _S2DStemConv(nn.Module):
+    """The MobileNet stem 3x3/s2 conv computed as a 2x2/s1 conv over the
+    2x2 space-to-depth input — identical math, same param tree as nn.Conv
+    (kernel [3, 3, 3, O]), but the MXU sees K=48 contiguous channels
+    instead of a stride-2 gather over 3 channels (XLA's C_in=3 conv
+    lowering runs ~5x slower than this on v5e; see README perf notes).
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[-1] <= 4:
+            c = x.shape[-1]
+            x = space_to_depth_2x(x.astype(self.dtype))
+        else:
+            # Input already in s2d layout (host-staged: ops/image.py
+            # space_to_depth_flat) — [.., H, W, 3] ops run at 3/128 lane
+            # density on TPU, so the batch paths transpose on host.
+            c = x.shape[-1] // 4
+            x = x.astype(self.dtype)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c,
+                                                       self.features),
+            jnp.float32,
+        )
+        k = stem_kernel_to_s2d(kernel).astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        # Original SAME padding at stride 2 = one zero row/col at
+        # bottom/right, i.e. one trailing zero CELL in s2d space.
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((0, 1), (0, 1)), dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvBNRelu6(nn.Module):
     """Conv → BatchNorm → ReLU6, the MobileNet building block."""
 
@@ -129,6 +205,7 @@ class ConvBNRelu6(nn.Module):
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
     bn_folded: bool = False  # inference flavor: conv(kernel, bias)+relu6
+    s2d: bool = False  # stem flavor: exact space-to-depth remap
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -139,7 +216,14 @@ class ConvBNRelu6(nn.Module):
             and self.groups == x.shape[-1] == self.features
             and self.kernel == (3, 3)
         )
-        if is_dw:
+        if self.s2d and self.kernel == (3, 3) and self.strides == (2, 2) \
+                and self.groups == 1 and x.shape[1] % 2 == 0 \
+                and x.shape[2] % 2 == 0:
+            x = _S2DStemConv(
+                self.features, use_bias=self.bn_folded, dtype=self.dtype,
+                name="conv",
+            )(x)
+        elif is_dw:
             x = _DepthwiseConv3x3(
                 strides=self.strides,
                 use_bias=self.bn_folded,
@@ -242,6 +326,7 @@ class MobileNetV1(nn.Module):
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
     bn_folded: bool = False
+    s2d_stem: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -259,6 +344,7 @@ class MobileNetV1(nn.Module):
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
             bn_folded=self.bn_folded,
+            s2d=self.s2d_stem,
             dtype=self.dtype,
             name="stem",
         )(x, train=train)

@@ -40,6 +40,7 @@ class MultiPoseNet(nn.Module):
             bn_momentum=cfg.model.bn_momentum,
             bn_epsilon=cfg.model.bn_epsilon,
             bn_folded=cfg.model.bn_folded,
+            s2d_stem=cfg.model.s2d_stem,
             dtype=dtype,
             name="backbone",
         )
@@ -52,6 +53,7 @@ class MultiPoseNet(nn.Module):
         keypoint_head = KeypointHead(
             num_keypoints=cfg.model.num_keypoints,
             channels=cfg.model.head_channels,
+            num_convs=cfg.model.kp_head_convs,
             with_segmentation=cfg.model.with_segmentation,
             dtype=dtype,
             name="keypoint_head",

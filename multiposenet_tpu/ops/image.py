@@ -103,6 +103,45 @@ def normalize_batch(images: jnp.ndarray) -> jnp.ndarray:
     return normalize(images)
 
 
+def space_to_depth_flat(images: np.ndarray) -> np.ndarray:
+    """HOST-side staging: uint8 [B, H, W, 3] → [B, H/2, (W/2)*12] uint8.
+
+    Why: on TPU every elementwise op over a [.., W, 3] image runs at 3/128
+    lane density (tiles pad the 3-channel minor dim), so the plain cast of
+    a 512^2 uint8 batch alone costs ~6 ms at bs=64. Staging the 2x2
+    space-to-depth FLAT layout on host loader threads lets the device
+    normalize at full lane density and feed the stem's s2d conv directly
+    (models/mobilenet._S2DStemConv). Channel order (py, px, c) matches
+    space_to_depth_2x.
+    """
+    b, h, w, c = images.shape
+    x = images.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, (w // 2) * 4 * c)
+
+
+def normalize_s2d_flat(
+    flat: jnp.ndarray, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """Device-side: s2d-flat uint8 [B, Hh, Wh*12] → normalized
+    [B, Hh, Wh, 12] in `dtype`.
+
+    The per-channel ImageNet mean/std repeat with period 3 in the flat
+    minor dim, so normalization is one dense elementwise pass (full lane
+    utilization); the trailing reshape into s2d cells is a free row-major
+    split.
+    """
+    b, hh, wf = flat.shape
+    mean = jnp.asarray(
+        np.tile(np.asarray(IMAGENET_MEAN, np.float32), wf // 3)
+    )
+    std = jnp.asarray(
+        np.tile(np.asarray(IMAGENET_STD, np.float32), wf // 3)
+    )
+    x = (flat.astype(jnp.float32) / 255.0 - mean) / std
+    return x.astype(dtype).reshape(b, hh, wf // 12, 12)
+
+
 def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
     """[out, in] bilinear interpolation matrix, half-pixel convention
     (matches jax.image.resize(method='linear') for down/upscaling)."""

@@ -138,3 +138,56 @@ def keypoints_from_prn(
     hy = y0[:, None] + (iy + 0.5) * bh / ch - 0.5
     hx = x0[:, None] + (ix + 0.5) * bw / cw - 0.5
     return jnp.stack([hx, hy, score], axis=-1)  # (x, y, score)
+
+
+def snap_to_peaks(
+    keypoints: jnp.ndarray,
+    boxes: jnp.ndarray,
+    peak_pos: jnp.ndarray,
+    peak_scores: jnp.ndarray,
+    peak_valid: jnp.ndarray,
+    crop_height: int,
+    crop_width: int,
+    radius_cells: float = 1.0,
+) -> jnp.ndarray:
+    """Sub-pixel PRN keypoints: snap each PRN argmax cell center to the
+    nearest decoded heatmap peak of that channel (SURVEY.md §3.4 "sub-pixel
+    offset refine" feeding the final keypoints).
+
+    The PRN readout quantizes to crop-grid cell centers (error up to
+    box_size / crop_cells / 2 heatmap px); the decode kernel already
+    produces ±quarter-pixel peak positions, so within a radius of
+    `radius_cells` crop cells we adopt the peak's position and score —
+    outside it (peak suppressed / below threshold) the cell center stands.
+
+    keypoints:   [N, K, 3] rows (x, y, score) in heatmap coords.
+    boxes:       [N, 4] (y0, x0, y1, x1) heatmap coords.
+    peak_pos:    [N, K, P, 2] decoded (y, x) heatmap coords.
+    peak_scores: [N, K, P]; peak_valid: [N, K, P] bool.
+    Returns keypoints with snapped (x, y, score), same shape/dtype.
+    """
+    cx = keypoints[..., 0]  # [N, K]
+    cy = keypoints[..., 1]
+    d2 = (
+        (peak_pos[..., 1] - cx[..., None]) ** 2
+        + (peak_pos[..., 0] - cy[..., None]) ** 2
+    )  # [N, K, P]
+    d2 = jnp.where(peak_valid, d2, jnp.inf)
+    j = jnp.argmin(d2, axis=-1)  # [N, K]
+    best_d2 = jnp.take_along_axis(d2, j[..., None], axis=-1)[..., 0]
+
+    # Snap radius: radius_cells crop-cell pitches of THIS box (per-axis
+    # pitch, conservative max), at least half a heatmap pixel.
+    bh = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-3)
+    bw = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-3)
+    pitch = jnp.maximum(bh / crop_height, bw / crop_width)
+    radius = jnp.maximum(radius_cells * pitch, 0.5)[:, None]  # [N, 1]
+    ok = jnp.isfinite(best_d2) & (best_d2 <= radius**2)
+
+    px = jnp.take_along_axis(peak_pos[..., 1], j[..., None], -1)[..., 0]
+    py = jnp.take_along_axis(peak_pos[..., 0], j[..., None], -1)[..., 0]
+    ps = jnp.take_along_axis(peak_scores, j[..., None], -1)[..., 0]
+    out_x = jnp.where(ok, px, cx)
+    out_y = jnp.where(ok, py, cy)
+    out_s = jnp.where(ok, ps.astype(keypoints.dtype), keypoints[..., 2])
+    return jnp.stack([out_x, out_y, out_s], axis=-1)

@@ -1,0 +1,93 @@
+"""Space-to-depth stem + host-staged flat input path: exact-math parity
+with the plain conv stem (models/mobilenet, ops/image)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiposenet_tpu.models.mobilenet import (
+    MobileNetV1,
+    space_to_depth_2x,
+    stem_kernel_to_s2d,
+)
+from multiposenet_tpu.ops import image as image_ops
+
+
+def test_s2d_stem_matches_plain_stem():
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    )
+    plain = MobileNetV1(width=0.25, s2d_stem=False)
+    s2d = MobileNetV1(width=0.25, s2d_stem=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        s2d.init(jax.random.PRNGKey(0), x)
+    )
+    o1 = plain.apply(v, x)
+    o2 = s2d.apply(v, x)
+    for k in o1:
+        np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o2[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stem_odd_size_falls_back():
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 63, 65, 3).astype(np.float32)
+    )
+    m = MobileNetV1(width=0.25, s2d_stem=True)
+    v = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    assert feats["C2"].shape[1:3] == (16, 17)
+
+
+def test_s2d_stem_consumes_prestaged_input():
+    """Host-staged s2d cells produce the same features as raw images."""
+    raw = np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3),
+                                           dtype=np.uint8)
+    xn = np.asarray(
+        jax.jit(image_ops.normalize)(jnp.asarray(raw))
+    )  # [B, H, W, 3] float32
+    m = MobileNetV1(width=0.25, s2d_stem=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(xn))
+    o_raw = m.apply(v, jnp.asarray(xn))
+    o_s2d = m.apply(v, space_to_depth_2x(jnp.asarray(xn)))
+    for k in o_raw:
+        np.testing.assert_allclose(np.asarray(o_raw[k]),
+                                   np.asarray(o_s2d[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_space_to_depth_flat_roundtrip():
+    raw = np.random.RandomState(1).randint(0, 255, (2, 8, 12, 3),
+                                           dtype=np.uint8)
+    flat = image_ops.space_to_depth_flat(raw)
+    assert flat.shape == (2, 4, 6 * 12)
+    # flat cell (i, j) channel (py*2+px)*3+c == raw[2i+py, 2j+px, c]
+    cells = flat.reshape(2, 4, 6, 4, 3)
+    for py in range(2):
+        for px in range(2):
+            np.testing.assert_array_equal(
+                cells[:, :, :, py * 2 + px],
+                raw[:, py::2, px::2],
+            )
+
+
+def test_normalize_s2d_flat_matches_normalize():
+    raw = np.random.RandomState(2).randint(0, 255, (2, 16, 24, 3),
+                                           dtype=np.uint8)
+    flat = jnp.asarray(image_ops.space_to_depth_flat(raw))
+    got = np.asarray(image_ops.normalize_s2d_flat(flat))  # [B,8,12,12]
+    want = np.asarray(
+        space_to_depth_2x(image_ops.normalize(jnp.asarray(raw)))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_stem_kernel_remap_shapes():
+    k = jnp.asarray(np.random.RandomState(0).randn(3, 3, 3, 8)
+                    .astype(np.float32))
+    ks = stem_kernel_to_s2d(k)
+    assert ks.shape == (2, 2, 12, 8)
+    # The never-touched quadrant (dy%2==1 and dx%2==1 of cell (+1,+1))
+    # stays zero: phase (1,1) channels of cell offset (1,1).
+    np.testing.assert_array_equal(np.asarray(ks[1, 1, 9:12]), 0.0)
