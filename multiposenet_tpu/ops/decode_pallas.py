@@ -6,9 +6,9 @@ sub-pixel refine. BASELINE.json's north star requires this to "run as Pallas
 kernels on-device".
 
 Kernel design (TPU-first, not a SciPy translation):
-  * One grid program per (batch x channel) heatmap; the whole [H, W] map
-    lives in VMEM (128x128 fp32 = 64 KiB — comfortably under the ~16 MiB
-    budget).
+  * One grid program per MAPS_PER_PROGRAM (batch x channel) heatmaps; each
+    whole [H, W] map lives in VMEM (128x128 fp32 = 64 KiB — comfortably
+    under the ~16 MiB budget).
   * Gaussian smoothing is expressed as two banded-matrix multiplies
     (S_h @ X @ S_w) instead of a sliding-window convolution — the banded
     matrices encode the zero-padded truncated Gaussian exactly, and the two
@@ -16,9 +16,12 @@ Kernel design (TPU-first, not a SciPy translation):
   * 3x3 peak NMS and the ±¼px sub-pixel offsets are computed from
     statically shifted copies of the smoothed map (concat of slices — pure
     VPU, fused in the same VMEM pass).
-  * Outputs: the peak-suppressed score map plus dy/dx sub-pixel offset
-    maps. Channelwise top-k stays in XLA (`jax.lax.top_k` is already
-    optimal for [B, K, H*W]) and gathers the offsets.
+  * Top-K peak selection runs INSIDE the kernel as K rounds of masked
+    argmax over the VMEM-resident map (min-flat-index tie break — exactly
+    `lax.top_k`'s stable order). Only [N, K] peak tuples ever leave the
+    kernel; the previous design wrote full score/sign maps back to HBM and
+    let XLA sort them, which cost ~8 ms/iter at bs=128 (two giant sorts +
+    layout copies + gathers) vs ~0 for the fused selection.
 
 Parity: `decode_heatmaps_pallas` must match `ops.decode.decode_heatmaps`
 (the jnp reference, itself oracle-tested) — see tests/test_decode_pallas.py,
@@ -59,25 +62,43 @@ def smoothing_matrix(n: int, sigma: float, kernel_size: int) -> np.ndarray:
 MAPS_PER_PROGRAM = 8  # amortizes per-program overhead and S_h/S_w loads
 
 
-def _decode_kernel(x_ref, sh_ref, sw_ref, scores_ref, dy_ref, dx_ref):
-    """[C, H, W] heatmaps → suppressed scores + sub-pixel sign maps.
+def _decode_kernel(
+    x_ref, sh_ref, sw_ref, scores_ref, ys_ref, xs_ref,
+    *, n_peaks: int, shift: float,
+):
+    """[C, H, W] heatmaps → top-`n_peaks` (score, sub-pixel y, x) per map.
 
     Processes MAPS_PER_PROGRAM channel maps per grid program (statically
     unrolled) so the smoothing matrices are loaded once per program and the
-    per-program fixed cost is amortized. Sign maps are int8 in {-1, 0, 1}
-    (the caller multiplies by the configured shift) — 4x less HBM write
-    traffic than f32 offsets."""
+    per-program fixed cost is amortized. Peak selection is `n_peaks` rounds
+    of masked argmax; ties resolve to the smallest flat index, matching
+    lax.top_k's stable descending order (and therefore ops.decode.topk_2d).
+
+    Design notes from measuring five selection variants on v5e (config-2
+    throughput): per-map 2-D ops with scalar reductions win (14.0k img/s)
+    over VMEM-scratch dynamic row slicing (9.1k), one-hot-matmul row
+    extraction (11.8k), per-map vector-register-only [1, 1] reductions
+    (11.9k), and cross-map batched [C, H, W] rounds (8.2k — Mosaic handles
+    the untiled leading dim poorly; 2-axis keepdims reduces crash its
+    layout pass outright). Each round is ~6 full-map
+    passes: max, masked min-index, two masked sub-pixel sums, mask update
+    (int32-packed single-map extraction measured SLOWER than two f32 sums).
+    """
     neg_inf = jnp.float32(-jnp.inf)
     sh = sh_ref[:]
     sw = sw_ref[:]
+    h, w = sh.shape[0], sw.shape[0]
+    flat_i = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
     for c in range(x_ref.shape[0]):
-        x = x_ref[c]  # [H, W]
+        x = x_ref[c].astype(jnp.float32)  # [H, W]
 
         # Gaussian smoothing on the MXU: S_h @ X @ S_w (S_w symmetric).
         sm = jnp.dot(sh, x, preferred_element_type=jnp.float32)
         sm = jnp.dot(sm, sw, preferred_element_type=jnp.float32)
 
-        h, w = sm.shape
         inf_row = jnp.full((1, w), neg_inf)
         inf_col = jnp.full((h, 1), neg_inf)
 
@@ -88,18 +109,83 @@ def _decode_kernel(x_ref, sh_ref, sw_ref, scores_ref, dy_ref, dx_ref):
         left = jnp.concatenate([vmax[:, 1:], inf_col], axis=1)   # col j+1
         right = jnp.concatenate([inf_col, vmax[:, :-1]], axis=1)  # col j-1
         m9 = jnp.maximum(vmax, jnp.maximum(left, right))
-        is_peak = sm >= m9
+        masked = jnp.where(sm >= m9, sm, neg_inf)
 
-        scores_ref[c] = jnp.where(is_peak, sm, neg_inf)
-
-        # Sub-pixel shift direction toward the larger neighbor,
-        # border-CLIPPED reads (matches ops.decode.subpixel_refine).
+        # Sub-pixel shift toward the larger neighbor, border-CLIPPED
+        # reads (matches ops.decode.subpixel_refine), pre-scaled by shift.
         right_n = jnp.concatenate([sm[:, 1:], sm[:, -1:]], axis=1)
         left_n = jnp.concatenate([sm[:, :1], sm[:, :-1]], axis=1)
         down_n = jnp.concatenate([sm[1:], sm[-1:]], axis=0)
         up_n = jnp.concatenate([sm[:1], sm[:-1]], axis=0)
-        dx_ref[c] = jnp.sign(right_n - left_n).astype(jnp.int8)
-        dy_ref[c] = jnp.sign(down_n - up_n).astype(jnp.int8)
+        dx_map = jnp.sign(right_n - left_n) * shift
+        dy_map = jnp.sign(down_n - up_n) * shift
+
+        p_scores, p_ys, p_xs = [], [], []
+        for _ in range(n_peaks):
+            m = jnp.max(masked)
+            # Min flat index among ties — lax.top_k's stable order.
+            idx = jnp.min(jnp.where(masked == m, flat_i, h * w))
+            sel = flat_i == idx
+            dy = jnp.sum(jnp.where(sel, dy_map, 0.0))
+            dx = jnp.sum(jnp.where(sel, dx_map, 0.0))
+
+            p_scores.append(m)
+            p_ys.append((idx // w).astype(jnp.float32) + dy)
+            p_xs.append((idx % w).astype(jnp.float32) + dx)
+            masked = jnp.where(sel, neg_inf, masked)
+        scores_ref[c] = jnp.stack(p_scores)
+        ys_ref[c] = jnp.stack(p_ys)
+        xs_ref[c] = jnp.stack(p_xs)
+
+
+def _decode_maps_pallas(
+    x: jnp.ndarray, config: DecodeConfig, interpret: bool
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[N, H, W] maps (any float dtype) → (scores, ys, xs), each [N, P]."""
+    n_maps, h, w = x.shape
+    p = config.max_peaks_per_channel
+    sh = jnp.asarray(smoothing_matrix(h, config.smooth_sigma,
+                                      config.smooth_kernel_size))
+    sw = jnp.asarray(smoothing_matrix(w, config.smooth_sigma,
+                                      config.smooth_kernel_size))
+
+    # Pad the fused (batch*channel) dim to a multiple of MAPS_PER_PROGRAM.
+    c_blk = MAPS_PER_PROGRAM
+    n_pad = (-n_maps) % c_blk
+    if n_pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_pad, h, w), x.dtype)], axis=0
+        )
+    map_spec = pl.BlockSpec(
+        (c_blk, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    mat_spec_h = pl.BlockSpec((h, h), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    mat_spec_w = pl.BlockSpec((w, w), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((c_blk, p), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    total = n_maps + n_pad
+    out_shape = jax.ShapeDtypeStruct((total, p), jnp.float32)
+    kernel = functools.partial(
+        _decode_kernel, n_peaks=p, shift=float(config.subpixel_shift)
+    )
+    scores, ys, xs = pl.pallas_call(
+        kernel,
+        grid=(total // c_blk,),
+        in_specs=[map_spec, mat_spec_h, mat_spec_w],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * (h * h * w + h * w * w),
+            bytes_accessed=total * h * w * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, sh, sw)
+    if n_pad:
+        scores, ys, xs = scores[:n_maps], ys[:n_maps], xs[:n_maps]
+    return scores, ys, xs
 
 
 @functools.partial(
@@ -114,76 +200,38 @@ def decode_heatmaps_pallas(
 
     Drop-in replacement for ops.decode.decode_heatmaps. Requires
     nms_window == 3 (the reference's maximum_filter footprint); other
-    windows fall back to the jnp path at the call site (see
-    `decode_heatmaps_auto`).
+    windows fall back to the jnp path at the call site.
     """
+    b, h, w, k = heatmaps.shape
+    x = jnp.transpose(heatmaps, (0, 3, 1, 2)).reshape(b * k, h, w)
+    return decode_heatmaps_pallas_t(
+        x, (b, k), config, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bk", "config", "interpret")
+)
+def decode_heatmaps_pallas_t(
+    maps: jnp.ndarray,
+    bk: tuple[int, int],
+    config: DecodeConfig = DecodeConfig(),
+    interpret: bool = False,
+) -> DecodedPeaks:
+    """Decode channel-major maps [B*K, H, W] (the transpose is shared with
+    the PRN crop path — see Predictor._batch_forward_impl)."""
     if config.nms_window != 3:
         raise ValueError(
             "pallas decode kernel implements the reference 3x3 NMS window; "
             f"got nms_window={config.nms_window}"
         )
-    heatmaps = heatmaps.astype(jnp.float32)
-    b, h, w, k = heatmaps.shape
+    b, k = bk
+    scores, ys, xs = _decode_maps_pallas(maps, config, interpret)
     p = config.max_peaks_per_channel
-
-    x = jnp.transpose(heatmaps, (0, 3, 1, 2)).reshape(b * k, h, w)
-    sh = jnp.asarray(smoothing_matrix(h, config.smooth_sigma,
-                                      config.smooth_kernel_size))
-    sw = jnp.asarray(smoothing_matrix(w, config.smooth_sigma,
-                                      config.smooth_kernel_size))
-
-    # Pad the fused (batch*channel) dim to a multiple of MAPS_PER_PROGRAM.
-    n_maps = b * k
-    c_blk = MAPS_PER_PROGRAM
-    n_pad = (-n_maps) % c_blk
-    if n_pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((n_pad, h, w), x.dtype)], axis=0
-        )
-    map_spec = pl.BlockSpec(
-        (c_blk, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    mat_spec_h = pl.BlockSpec((h, h), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
-    mat_spec_w = pl.BlockSpec((w, w), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
-    total = n_maps + n_pad
-    out_f32 = jax.ShapeDtypeStruct((total, h, w), jnp.float32)
-    out_i8 = jax.ShapeDtypeStruct((total, h, w), jnp.int8)
-    scores_map, dy_map, dx_map = pl.pallas_call(
-        _decode_kernel,
-        grid=(total // c_blk,),
-        in_specs=[map_spec, mat_spec_h, mat_spec_w],
-        out_specs=(map_spec, map_spec, map_spec),
-        out_shape=(out_f32, out_i8, out_i8),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * (h * h * w + h * w * w),
-            bytes_accessed=total * h * w * (4 + 4 + 1 + 1),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(x, sh, sw)
-    if n_pad:
-        scores_map = scores_map[:n_maps]
-        dy_map = dy_map[:n_maps]
-        dx_map = dx_map[:n_maps]
-
-    # Channelwise hierarchical top-k + offset gather in XLA.
-    from multiposenet_tpu.ops.decode import topk_2d
-
-    top_scores, top_idx = topk_2d(scores_map.reshape(b, k, h, w), p)
-    ys = top_idx // w
-    xs = top_idx % w
-    shift = jnp.float32(config.subpixel_shift)
-    dy = jnp.take_along_axis(
-        dy_map.reshape(b, k, h * w), top_idx, axis=-1
-    ).astype(jnp.float32) * shift
-    dx = jnp.take_along_axis(
-        dx_map.reshape(b, k, h * w), top_idx, axis=-1
-    ).astype(jnp.float32) * shift
+    scores = scores.reshape(b, k, p)
     positions = jnp.stack(
-        [ys.astype(jnp.float32) + dy, xs.astype(jnp.float32) + dx], axis=-1
+        [ys.reshape(b, k, p), xs.reshape(b, k, p)], axis=-1
     )
-    valid = top_scores > config.score_threshold
-    scores = jnp.where(valid, top_scores, 0.0)
+    valid = scores > config.score_threshold
+    scores = jnp.where(valid, scores, 0.0)
     return DecodedPeaks(positions=positions, scores=scores, valid=valid)
