@@ -223,8 +223,8 @@ def bench_config_4(batch_size: int = 8) -> dict:
         .astype(np.float32)
     )
     variables = prn.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, cfg.prn.crop_height,
-                                    cfg.prn.crop_width, 17)))
+                         jnp.zeros((1, 17, cfg.prn.crop_height *
+                                    cfg.prn.crop_width)))
 
     # NOTE: variables must be an argument, not a closure constant — the PRN
     # Dense weights are ~280 MB and constant-folding them into the HLO
@@ -234,10 +234,11 @@ def bench_config_4(batch_size: int = 8) -> dict:
             hms, boxes, cfg.prn.crop_height, cfg.prn.crop_width
         )
         b, p = crops.shape[:2]
-        flat = crops.reshape(b * p, *crops.shape[2:])
-        out = prn.apply(variables, flat)
+        crops_km = prn_ops.to_channel_major(crops, 17)
+        out = prn.apply(variables, crops_km)
         return prn_ops.keypoints_from_prn(
-            out, flat, boxes.reshape(b * p, 4)
+            out, crops_km, boxes.reshape(b * p, 4),
+            cfg.prn.crop_height, cfg.prn.crop_width,
         )
 
     fn = jax.jit(pipeline)

@@ -129,7 +129,7 @@ def main() -> None:
     crops = jax.jit(crops_fn)(hm, hm_boxes)
     _fence(crops)
     b, d = crops.shape[:2]
-    flat = crops.reshape(b * d, *crops.shape[2:])
+    flat = prn_ops.to_channel_major(crops, 17)
 
     def prn_mlp(pv, flat):
         return pred.prn.apply(pv, flat, return_logits=True)
@@ -139,7 +139,8 @@ def main() -> None:
 
     def prn_readout(prn_out, flat, hm_boxes):
         return prn_ops.keypoints_from_prn(
-            prn_out, flat, hm_boxes.reshape(b * d, 4)
+            prn_out, flat, hm_boxes.reshape(b * d, 4),
+            cfg.prn.crop_height, cfg.prn.crop_width,
         )
 
     stages = {

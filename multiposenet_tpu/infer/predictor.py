@@ -96,8 +96,8 @@ class Predictor:
         )
         if prn_variables is None:
             dummy_crops = jnp.zeros(
-                (1, cfg.prn.crop_height, cfg.prn.crop_width,
-                 cfg.model.num_keypoints),
+                (1, cfg.model.num_keypoints,
+                 cfg.prn.crop_height * cfg.prn.crop_width),
                 jnp.float32,
             )
             prn_variables = self.prn.init(
@@ -197,27 +197,28 @@ class Predictor:
         crops = prn_ops.batched_crop_heatmaps(
             heatmaps, hm_boxes,
             cfg.prn.crop_height, cfg.prn.crop_width, crop_dtype,
-        )  # [B, D, ch, cw, K]
+        )  # [B, D, cw, ch, K]
         b, d = crops.shape[:2]
-        flat_crops = crops.reshape(b * d, *crops.shape[2:])
+        crops_km = prn_ops.to_channel_major(
+            crops, cfg.model.num_keypoints
+        )  # [B*D, K, hw]
         # Logits, not softmax: argmax is identical and the softmax over
-        # [B*D, ch*cw, K] costs real HBM traffic at inference.
-        prn_out = self.prn.apply(prn_variables, flat_crops,
+        # [B*D, K, hw] costs real HBM traffic at inference.
+        prn_out = self.prn.apply(prn_variables, crops_km,
                                  return_logits=True)
         flat_boxes = hm_boxes.reshape(b * d, 4)
         keypoints = prn_ops.keypoints_from_prn(
-            prn_out, flat_crops, flat_boxes
-        )  # [B*D, K, 3] (x, y, score) heatmap coords
+            prn_out, crops_km, flat_boxes,
+            cfg.prn.crop_height, cfg.prn.crop_width,
+        ).reshape(b, d, cfg.model.num_keypoints, 3)  # (x, y, score)
         if peaks is not None and cfg.prn.snap_radius_cells > 0:
             keypoints = prn_ops.snap_to_peaks(
-                keypoints, flat_boxes,
-                jnp.repeat(peaks.positions, d, axis=0),
-                jnp.repeat(peaks.scores, d, axis=0),
-                jnp.repeat(peaks.valid, d, axis=0),
+                keypoints, hm_boxes,
+                peaks.positions, peaks.scores, peaks.valid,
                 cfg.prn.crop_height, cfg.prn.crop_width,
                 cfg.prn.snap_radius_cells,
             )
-        return keypoints.reshape(b, d, cfg.model.num_keypoints, 3)
+        return keypoints
 
     def _full_forward_impl(
         self, variables: Any, prn_variables: Any, image: jnp.ndarray

@@ -18,15 +18,22 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 class PRN(nn.Module):
-    """[N, crop_h, crop_w, K] heatmap crops → refined per-person heatmaps.
+    """[N, K, hw] channel-major heatmap crops → refined per-person maps.
 
     Returns per-channel spatial softmax maps of the same shape; downstream
     argmax per channel picks this person's keypoint.
-    """
+
+    Input comes from ops/prn_ops.to_channel_major: the flat spatial axis
+    (hw = crop_w * crop_h, column-major) is MINOR, so the flatten here is
+    a free contiguous reshape, the residual add runs at full lane density,
+    and the per-channel softmax/argmax reduce over lanes. The Dense
+    weights' row order simply follows this layout (our convention; the
+    reference's flatten order is equally arbitrary)."""
 
     crop_height: int = 56
     crop_width: int = 36
@@ -48,17 +55,8 @@ class PRN(nn.Module):
         out = nn.Dense(flat_dim, dtype=self.dtype, name="out")(h)
         out = out + x  # residual add of the input crop (PAPER §3.3)
 
-        out = out.reshape(n, hw, self.num_keypoints)
+        out = out.reshape(n, self.num_keypoints, hw)
         if not return_logits:
-            # Per-channel spatial softmax over the crop grid.
-            out = _spatial_softmax(out)
-        return out.reshape(
-            n, self.crop_height, self.crop_width, self.num_keypoints
-        )
-
-
-def _spatial_softmax(x: jnp.ndarray) -> jnp.ndarray:
-    """Softmax over axis 1 (the flattened spatial axis) of [N, HW, K]."""
-    x = x - jnp.max(x, axis=1, keepdims=True)
-    e = jnp.exp(x)
-    return e / jnp.sum(e, axis=1, keepdims=True)
+            # Per-channel spatial softmax over the (lane-minor) crop grid.
+            out = jax.nn.softmax(out, axis=-1)
+        return out

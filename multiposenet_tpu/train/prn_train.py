@@ -59,6 +59,8 @@ def crop_cell_targets(
     Inverts the sampling convention of prn_ops.interp_matrix:
         cell i samples y = y0 + (i + 0.5) * bh / ch - 0.5
         ⇒  i = (y - y0 + 0.5) * ch / bh - 0.5.
+    The flat index is COLUMN-major (j * crop_height + i), matching the
+    channel-major PRN layout (ops/prn_ops.to_channel_major).
     """
     y0 = boxes[:, 0:1] / stride
     x0 = boxes[:, 1:2] / stride
@@ -76,7 +78,7 @@ def crop_cell_targets(
         & (fj >= -0.5) & (fj <= crop_width - 0.5)
     )
     weight = ((keypoints[..., 2] > 0) & inside).astype(jnp.float32)
-    return i * crop_width + j, weight
+    return j * crop_height + i, weight
 
 
 def prn_loss_fn(
@@ -99,16 +101,14 @@ def prn_loss_fn(
     hm_boxes = batch["boxes"] / stride
     crops = prn_ops.batched_crop_heatmaps(
         hms, hm_boxes, p_cfg.crop_height, p_cfg.crop_width
-    )  # [B, P, ch, cw, K]
+    )  # [B, P, cw, ch, K]
     b, p = crops.shape[:2]
-    flat_crops = crops.reshape(b * p, *crops.shape[2:])
+    crops_km = prn_ops.to_channel_major(crops, m.num_keypoints)
 
     logits = prn.apply(
-        params, flat_crops, return_logits=True
-    )  # [B*P, ch, cw, K]
-    hw = p_cfg.crop_height * p_cfg.crop_width
-    logits = logits.reshape(b * p, hw, m.num_keypoints)
-    log_probs = jax.nn.log_softmax(logits, axis=1)
+        params, crops_km, return_logits=True
+    )  # [B*P, K, hw] — hw column-major (j * ch + i)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
 
     cell, weight = jax.vmap(
         lambda k, bx: crop_cell_targets(
@@ -121,12 +121,12 @@ def prn_loss_fn(
     weight = weight * person_ok[:, None]
 
     picked = jnp.take_along_axis(
-        log_probs, cell[:, None, :], axis=1
-    )[:, 0, :]  # [B*P, 17]
+        log_probs, cell[..., None], axis=-1
+    )[..., 0]  # [B*P, 17]
     ce = -(picked * weight).sum() / jnp.maximum(weight.sum(), 1.0)
 
     # Assignment accuracy: argmax cell == GT cell.
-    pred_cell = jnp.argmax(logits, axis=1)
+    pred_cell = jnp.argmax(logits, axis=-1)
     acc = ((pred_cell == cell) * weight).sum() / jnp.maximum(
         weight.sum(), 1.0
     )
@@ -136,8 +136,8 @@ def prn_loss_fn(
 def create_prn_state(config: Config, rng: jax.Array) -> PRNTrainState:
     prn = make_prn(config)
     dummy = jnp.zeros(
-        (1, config.prn.crop_height, config.prn.crop_width,
-         config.model.num_keypoints),
+        (1, config.model.num_keypoints,
+         config.prn.crop_height * config.prn.crop_width),
         jnp.float32,
     )
     params = prn.init(rng, dummy)

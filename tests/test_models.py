@@ -125,9 +125,9 @@ def test_posenet_batchnorm_train_mode_updates_stats():
 def test_prn_shapes_and_softmax():
     prn = PRN(crop_height=28, crop_width=18, num_keypoints=17,
               hidden_units=64)
-    crops = jax.random.normal(jax.random.PRNGKey(0), (4, 28, 18, 17))
+    crops = jax.random.normal(jax.random.PRNGKey(0), (4, 17, 28 * 18))
     variables = prn.init(jax.random.PRNGKey(1), crops)
     out = prn.apply(variables, crops)
-    assert out.shape == (4, 28, 18, 17)
-    sums = np.asarray(out).reshape(4, -1, 17).sum(axis=1)
+    assert out.shape == (4, 17, 28 * 18)
+    sums = np.asarray(out).sum(axis=2)  # per-channel spatial softmax
     np.testing.assert_allclose(sums, 1.0, rtol=1e-5)

@@ -9,6 +9,7 @@ from multiposenet_tpu.ops.prn_ops import (
     crop_heatmaps,
     interp_matrix,
     keypoints_from_prn,
+    to_channel_major,
 )
 
 
@@ -55,7 +56,8 @@ def test_crop_matches_naive_loop():
     ], dtype=np.float32)
     got = crop_heatmaps(jnp.asarray(hm), jnp.asarray(boxes), 8, 6)
     for p in range(len(boxes)):
-        want = naive_crop(hm, boxes[p], 8, 6)
+        # crop layout is (col, row, channel); oracle emits (row, col, ch).
+        want = naive_crop(hm, boxes[p], 8, 6).transpose(1, 0, 2)
         np.testing.assert_allclose(np.asarray(got)[p], want, rtol=1e-4,
                                    atol=1e-5)
 
@@ -66,7 +68,7 @@ def test_batched_crop_shapes():
     boxes = jnp.asarray(rng.uniform(0, 8, (2, 5, 4)).astype(np.float32))
     boxes = boxes.at[..., 2:].add(8.0)
     crops = batched_crop_heatmaps(hms, boxes, 14, 9)
-    assert crops.shape == (2, 5, 14, 9, 17)
+    assert crops.shape == (2, 5, 9, 14, 17)
 
 
 def test_keypoints_from_prn_roundtrip():
@@ -74,12 +76,14 @@ def test_keypoints_from_prn_roundtrip():
     that cell samples from."""
     ch, cw, k = 8, 6, 2
     box = jnp.asarray([[4.0, 6.0, 20.0, 18.0]])
-    prn_out = np.zeros((1, ch, cw, k), dtype=np.float32)
-    prn_out[0, 2, 3, 0] = 1.0
-    prn_out[0, 7, 1, 1] = 1.0
-    crops = np.full((1, ch, cw, k), 0.55, dtype=np.float32)
+    # Channel-major [N, K, hw], flat column-major: flat = j * ch + i.
+    prn_out = np.zeros((1, k, ch * cw), dtype=np.float32)
+    prn_out[0, 0, 3 * ch + 2] = 1.0   # (i=2, j=3)
+    prn_out[0, 1, 1 * ch + 7] = 1.0   # (i=7, j=1)
+    crops = np.full((1, k, ch * cw), 0.55, dtype=np.float32)
     kps = np.asarray(
-        keypoints_from_prn(jnp.asarray(prn_out), jnp.asarray(crops), box)
+        keypoints_from_prn(jnp.asarray(prn_out), jnp.asarray(crops), box,
+                           ch, cw)
     )
     bh, bw = 16.0, 12.0
     # channel 0 → cell (2, 3): y = 4 + 2.5*16/8 - 0.5, x = 6 + 3.5*12/6 - 0.5
@@ -89,3 +93,16 @@ def test_keypoints_from_prn_roundtrip():
     np.testing.assert_allclose(kps[0, 1, :2], [6 + 1.5 * bw / cw - 0.5,
                                                4 + 7.5 * bh / ch - 0.5],
                                atol=1e-5)
+
+
+def test_to_channel_major_roundtrip():
+    """to_channel_major: [.., cw, ch, K] → [N, K, j*ch+i] flat order."""
+    rng = np.random.RandomState(3)
+    crops = rng.rand(2, 5, 6, 8, 17).astype(np.float32)  # [B,P,cw,ch,K]
+    km = np.asarray(to_channel_major(jnp.asarray(crops), 17))
+    assert km.shape == (10, 17, 48)
+    flat = crops.reshape(10, 48, 17)
+    for j in range(6):
+        for i in range(8):
+            np.testing.assert_array_equal(km[:, :, j * 8 + i],
+                                          flat[:, j * 8 + i, :])

@@ -49,7 +49,7 @@ def test_crop_cell_targets_roundtrip():
     )
     cell, weight = prn_train.crop_cell_targets(kp, box, ch, cw, stride)
     assert weight[0, 3] == 1.0
-    assert int(cell[0, 3]) == 5 * cw + 7
+    assert int(cell[0, 3]) == 7 * ch + 5  # column-major flat
     # Invisible keypoints carry zero weight.
     assert weight[0, 0] == 0.0
 
@@ -60,7 +60,7 @@ def test_prn_training_improves_accuracy():
     step_fn = jax.jit(prn_train.make_prn_train_step(cfg))
 
     first_acc, last_metrics = None, None
-    for i, batch in enumerate(crowded_batches(cfg, 60, 4)):
+    for i, batch in enumerate(crowded_batches(cfg, 90, 4)):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         if i == 0:
