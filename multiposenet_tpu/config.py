@@ -54,6 +54,13 @@ class ModelConfig:
     # expensive op in the whole model otherwise). Auto-falls back to the
     # plain conv for odd input sizes.
     s2d_stem: bool = True
+    # Keypoint towers consume the smoothed pyramid (P2..P5). When False
+    # they consume the raw top-down maps (T2..T5) instead — the towers'
+    # first conv subsumes the smoothing conv — which skips smooth_P2
+    # entirely (a 3x3 128-ch conv at 128², ~4.5 ms/iter at bs=128, that
+    # only the keypoint path reads). The detector always sees smoothed
+    # P3..P7. Config.fast() sets False.
+    kp_smooth_pyramid: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,7 +194,8 @@ class Config:
         runs on THIS config.
         """
         cfg = cls(
-            model=ModelConfig(compute_dtype="bfloat16", kp_head_convs=1),
+            model=ModelConfig(compute_dtype="bfloat16", kp_head_convs=1,
+                              kp_smooth_pyramid=False),
             detector=DetectorConfig(num_convs=2, head_channels=64),
             # Half-pitch crop grid: with sub-pixel peak snapping the PRN
             # grid only disambiguates WHICH peak belongs to the person, so

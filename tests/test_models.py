@@ -44,7 +44,10 @@ def test_fpn_levels_and_width():
     fpn = FPN(channels=64)
     variables = fpn.init(jax.random.PRNGKey(0), feats)
     p = fpn.apply(variables, feats)
-    assert set(p) == {"P2", "P3", "P4", "P5", "P6", "P7"}
+    assert set(p) == {"P2", "P3", "P4", "P5", "P6", "P7",
+                      "T2", "T3", "T4", "T5"}
+    # Raw top-down maps share shape with their smoothed counterparts.
+    assert p["T2"].shape == p["P2"].shape
     assert p["P2"].shape == (1, 32, 32, 64)
     assert p["P5"].shape == (1, 4, 4, 64)
     assert p["P6"].shape == (1, 2, 2, 64)
