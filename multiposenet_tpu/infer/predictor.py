@@ -125,7 +125,13 @@ class Predictor:
 
     def _decode(self, heatmaps: jnp.ndarray) -> decode_ops.DecodedPeaks:
         if self.use_pallas_decode:
-            return decode_heatmaps_pallas(heatmaps, self.config.decode)
+            # Transpose to [B*K, H, W] in the model's compute dtype — the
+            # heatmaps were computed in it before posenet's f32 upcast, so
+            # the downcast is lossless and the 142 MB transpose copy
+            # halves; the kernel recasts to f32 in VMEM.
+            dtype = jnp.dtype(self.config.model.compute_dtype)
+            return decode_heatmaps_pallas(heatmaps.astype(dtype),
+                                          self.config.decode)
         return decode_ops.decode_heatmaps(heatmaps, self.config.decode)
 
     def _kp_forward_impl(

@@ -17,11 +17,11 @@ Kernel design (TPU-first, not a SciPy translation):
     statically shifted copies of the smoothed map (concat of slices — pure
     VPU, fused in the same VMEM pass).
   * Top-K peak selection runs INSIDE the kernel as K rounds of masked
-    argmax over the VMEM-resident map (min-flat-index tie break — exactly
+    argmax over the VMEM-resident map (min-flat-index tie break —
     `lax.top_k`'s stable order). Only [N, K] peak tuples ever leave the
     kernel; the previous design wrote full score/sign maps back to HBM and
     let XLA sort them, which cost ~8 ms/iter at bs=128 (two giant sorts +
-    layout copies + gathers) vs ~0 for the fused selection.
+    layout copies + gathers).
 
 Parity: `decode_heatmaps_pallas` must match `ops.decode.decode_heatmaps`
 (the jnp reference, itself oracle-tested) — see tests/test_decode_pallas.py,
@@ -59,7 +59,7 @@ def smoothing_matrix(n: int, sigma: float, kernel_size: int) -> np.ndarray:
     return s
 
 
-MAPS_PER_PROGRAM = 8  # amortizes per-program overhead and S_h/S_w loads
+MAPS_PER_PROGRAM = 16  # amortizes per-program overhead and S_h/S_w loads; 8/32 measured slower
 
 
 def _decode_kernel(
@@ -80,9 +80,11 @@ def _decode_kernel(
     extraction (11.8k), per-map vector-register-only [1, 1] reductions
     (11.9k), and cross-map batched [C, H, W] rounds (8.2k — Mosaic handles
     the untiled leading dim poorly; 2-axis keepdims reduces crash its
-    layout pass outright). Each round is ~6 full-map
-    passes: max, masked min-index, two masked sub-pixel sums, mask update
-    (int32-packed single-map extraction measured SLOWER than two f32 sums).
+    layout pass outright). Each round is ~5 full-map
+    passes: max, masked min-index, one masked sub-pixel sum (both shift
+    signs packed into one f32 map as sign_y*4+sign_x), mask update. A 2x
+    row-fold before selection measured perf-NEUTRAL — the rounds are
+    stall-bound, not bandwidth-bound — so it was dropped for exactness.
     """
     neg_inf = jnp.float32(-jnp.inf)
     sh = sh_ref[:]
@@ -92,7 +94,9 @@ def _decode_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
-    for c in range(x_ref.shape[0]):
+    n_maps = x_ref.shape[0]
+    maskeds, combs = [], []
+    for c in range(n_maps):
         x = x_ref[c].astype(jnp.float32)  # [H, W]
 
         # Gaussian smoothing on the MXU: S_h @ X @ S_w (S_w symmetric).
@@ -109,33 +113,43 @@ def _decode_kernel(
         left = jnp.concatenate([vmax[:, 1:], inf_col], axis=1)   # col j+1
         right = jnp.concatenate([inf_col, vmax[:, :-1]], axis=1)  # col j-1
         m9 = jnp.maximum(vmax, jnp.maximum(left, right))
-        masked = jnp.where(sm >= m9, sm, neg_inf)
+        maskeds.append(jnp.where(sm >= m9, sm, neg_inf))
 
-        # Sub-pixel shift toward the larger neighbor, border-CLIPPED
-        # reads (matches ops.decode.subpixel_refine), pre-scaled by shift.
+        # Sub-pixel shifts toward the larger neighbor, border-CLIPPED
+        # reads (matches ops.decode.subpixel_refine), packed into ONE f32
+        # map: sign_y * 4 + sign_x ∈ {-5..5} (exact small integers), so
+        # each selection round extracts both with a single masked sum.
         right_n = jnp.concatenate([sm[:, 1:], sm[:, -1:]], axis=1)
         left_n = jnp.concatenate([sm[:, :1], sm[:, :-1]], axis=1)
         down_n = jnp.concatenate([sm[1:], sm[-1:]], axis=0)
         up_n = jnp.concatenate([sm[:1], sm[:-1]], axis=0)
-        dx_map = jnp.sign(right_n - left_n) * shift
-        dy_map = jnp.sign(down_n - up_n) * shift
+        combs.append(
+            jnp.sign(down_n - up_n) * 4.0 + jnp.sign(right_n - left_n)
+        )
 
-        p_scores, p_ys, p_xs = [], [], []
-        for _ in range(n_peaks):
+    # Selection: rounds OUTER, maps INNER — the per-round chain of one map
+    # is serially dependent (reduce → scalar → compare), so interleaving
+    # maps lets one map's scalar-unit stalls overlap another's vector work.
+    outs = [([], [], []) for _ in range(n_maps)]
+    for _ in range(n_peaks):
+        for c in range(n_maps):
+            masked = maskeds[c]
             m = jnp.max(masked)
             # Min flat index among ties — lax.top_k's stable order.
             idx = jnp.min(jnp.where(masked == m, flat_i, h * w))
             sel = flat_i == idx
-            dy = jnp.sum(jnp.where(sel, dy_map, 0.0))
-            dx = jnp.sum(jnp.where(sel, dx_map, 0.0))
+            cv = jnp.sum(jnp.where(sel, combs[c], 0.0))
+            dy = jnp.round(cv * 0.25) * shift
+            dx = (cv - jnp.round(cv * 0.25) * 4.0) * shift
 
-            p_scores.append(m)
-            p_ys.append((idx // w).astype(jnp.float32) + dy)
-            p_xs.append((idx % w).astype(jnp.float32) + dx)
-            masked = jnp.where(sel, neg_inf, masked)
-        scores_ref[c] = jnp.stack(p_scores)
-        ys_ref[c] = jnp.stack(p_ys)
-        xs_ref[c] = jnp.stack(p_xs)
+            outs[c][0].append(m)
+            outs[c][1].append((idx // w).astype(jnp.float32) + dy)
+            outs[c][2].append((idx % w).astype(jnp.float32) + dx)
+            maskeds[c] = jnp.where(sel, neg_inf, masked)
+    for c in range(n_maps):
+        scores_ref[c] = jnp.stack(outs[c][0])
+        ys_ref[c] = jnp.stack(outs[c][1])
+        xs_ref[c] = jnp.stack(outs[c][2])
 
 
 def _decode_maps_pallas(
