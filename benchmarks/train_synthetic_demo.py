@@ -51,9 +51,14 @@ def main() -> None:
 
     size = args.image_size
     cfg = Config(
+        # bn_momentum 0.9: the production default 0.997 needs ~2k steps
+        # before the BN running stats track the activations — with the
+        # demo's few hundred steps, eval-mode BN would still be at its
+        # init stats and the eval forward would output ~zeros while train
+        # losses converge (the round-2 "AP exactly 0" bug).
         model=ModelConfig(backbone_width=0.5, fpn_channels=64,
-                          head_channels=64),
-        detector=DetectorConfig(score_threshold=0.1, max_detections=8,
+                          head_channels=64, bn_momentum=0.9),
+        detector=DetectorConfig(score_threshold=0.05, max_detections=8,
                                 pre_nms_top_k=200),
         prn=PRNConfig(crop_height=28, crop_width=18, hidden_units=512,
                       max_persons=6),

@@ -94,7 +94,12 @@ class DetectorConfig:
     # 20 = COCOeval keypoints maxDets; every padded slot costs PRN work.
     max_detections: int = 20
     nms_iou_threshold: float = 0.5
-    score_threshold: float = 0.3
+    # COCO AP is ranking-based — candidates are never thresholded away in
+    # the evaluator, so a high default floor only costs recall (the focal
+    # prior starts sigmoid scores at ~0.01 and calibration grows slowly
+    # during training). 0.05 is the RetinaNet-standard eval floor;
+    # interactive predict() users can raise it per call site.
+    score_threshold: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,6 +13,8 @@ Record layout per image:
       "boxes":     float32 [P, 4]       # (y0, x0, y1, x1) pixels
       "iscrowd":   bool    [P]
       "area":      float32 [P]
+      "segmentation": list [P] of raw COCO segmentation values (polygons /
+                      RLE dict / None) — see data/masks.py
     }
 """
 
@@ -55,7 +57,7 @@ def load_coco_keypoints(
         im = images.get(image_id)
         if im is None:
             continue
-        kps, boxes, iscrowd, areas = [], [], [], []
+        kps, boxes, iscrowd, areas, segs = [], [], [], [], []
         for ann in anns:
             k = np.asarray(
                 ann.get("keypoints", [0] * NUM_KEYPOINTS * 3),
@@ -67,6 +69,7 @@ def load_coco_keypoints(
             boxes.append([y, x, y + h, x + w])
             iscrowd.append(crowd)
             areas.append(float(ann.get("area", w * h)))
+            segs.append(ann.get("segmentation"))
         if skip_crowd_only_images and all(iscrowd):
             continue
         records.append({
@@ -78,6 +81,9 @@ def load_coco_keypoints(
             "boxes": np.asarray(boxes, dtype=np.float32),
             "iscrowd": np.asarray(iscrowd, dtype=bool),
             "area": np.asarray(areas, dtype=np.float32),
+            # Raw COCO segmentation per person (polygons or RLE dict;
+            # None when absent) — decoded lazily by data/masks.py.
+            "segmentation": segs,
         })
     return records
 

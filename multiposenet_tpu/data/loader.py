@@ -12,6 +12,11 @@ Batch layout (all fixed shapes):
     boxes:     f32    [B, P, 4]       (y0, x0, y1, x1) model-input pixels
     iscrowd:   bool   [B, P]
     valid:     bool   [B, P]
+plus, when records carry segmentation-derived masks (data/masks.py via
+prepare.read_shards):
+    exclude_cov: f32 [B, S/stride, S/stride]  crowd/unlabeled coverage
+    person_cov:  f32 [B, S/stride, S/stride]  all-person coverage
+    has_mask:    bool [B]                      image had real masks
 """
 
 from __future__ import annotations
@@ -51,25 +56,61 @@ def make_batch(
     rng: np.random.RandomState | None = None,
     image_dir: str | None = None,
     train: bool = True,
+    mask_stride: int = 4,
 ) -> dict[str, np.ndarray]:
-    """Assemble one fixed-shape batch from records (augment iff train)."""
+    """Assemble one fixed-shape batch from records (augment iff train).
+
+    When any record carries segmentation-derived masks ("exclude_mask" /
+    "person_mask" bool arrays from prepare.read_shards), the batch gains
+    float coverage maps at heatmap resolution — transformed through the
+    SAME augmentation chain as the image — plus a per-image has_mask flag
+    (images without real masks keep the on-device box-union fallback).
+    """
+    import cv2
+
     b = len(records)
+    hm = image_size // mask_stride
+    with_masks = any(r.get("exclude_mask") is not None
+                     or r.get("person_mask") is not None for r in records)
     images = np.zeros((b, image_size, image_size, 3), np.uint8)
     keypoints = np.zeros((b, max_persons, NUM_KEYPOINTS, 3), np.float32)
     boxes = np.zeros((b, max_persons, 4), np.float32)
     iscrowd = np.zeros((b, max_persons), bool)
     valid = np.zeros((b, max_persons), bool)
+    if with_masks:
+        exclude_cov = np.zeros((b, hm, hm), np.float32)
+        person_cov = np.zeros((b, hm, hm), np.float32)
+        has_mask = np.zeros((b,), bool)
 
     for i, rec in enumerate(records):
         img = load_image(rec, image_dir)
         kps, bxs = rec["keypoints"], rec["boxes"]
+        masks = None
+        if with_masks and (rec.get("exclude_mask") is not None
+                           or rec.get("person_mask") is not None):
+            h, w = img.shape[:2]
+            zero = np.zeros((h, w), np.float32)
+            exc = rec.get("exclude_mask")
+            per = rec.get("person_mask")
+            masks = np.stack([
+                zero if exc is None else exc.astype(np.float32),
+                zero if per is None else per.astype(np.float32),
+            ], axis=-1)
+            has_mask[i] = True
         if train and rng is not None:
-            img, kps, bxs = aug.augment_record(
-                rng, img, kps, bxs, image_size
+            img, kps, bxs, masks = aug.augment_record(
+                rng, img, kps, bxs, image_size, masks
             )
         else:
-            img, kps, bxs = aug.resize_to(img, kps, bxs, image_size)
+            img, kps, bxs, masks = aug.resize_to(
+                img, kps, bxs, image_size, masks
+            )
         images[i] = img
+        if masks is not None:
+            cov = cv2.resize(masks, (hm, hm),
+                             interpolation=cv2.INTER_AREA)
+            exclude_cov[i] = cov[..., 0]
+            person_cov[i] = cov[..., 1]
         padded = pad_record(
             {"keypoints": kps, "boxes": bxs, "iscrowd": rec["iscrowd"]},
             max_persons,
@@ -78,13 +119,18 @@ def make_batch(
         boxes[i] = padded["boxes"]
         iscrowd[i] = padded["iscrowd"]
         valid[i] = padded["valid"]
-    return {
+    out = {
         "images": images,
         "keypoints": keypoints,
         "boxes": boxes,
         "iscrowd": iscrowd,
         "valid": valid,
     }
+    if with_masks:
+        out["exclude_cov"] = exclude_cov
+        out["person_cov"] = person_cov
+        out["has_mask"] = has_mask
+    return out
 
 
 def batch_iterator(

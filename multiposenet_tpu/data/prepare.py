@@ -17,6 +17,10 @@ Shard layout (npz keys), N records per shard:
     iscrowd:      bool [N, P]
     valid:        bool [N, P]
     area:         float32 [N, P]
+    exclude_mask: object array [N] of PNG bytes (or b"") — union of
+                  crowd/unlabeled-person segmentations (data/masks.py)
+    person_mask:  object array [N] of PNG bytes (or b"") — union of all
+                  person segmentations (aux seg-head target)
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ from typing import Iterator, Sequence
 import numpy as np
 
 from multiposenet_tpu.data.coco import load_coco_keypoints, pad_record
+from multiposenet_tpu.data.masks import region_masks
 from multiposenet_tpu.utils.constants import NUM_KEYPOINTS
 
 
@@ -61,6 +66,15 @@ def write_shards(
         iscrowd = np.zeros((n, max_persons), bool)
         valid = np.zeros((n, max_persons), bool)
         area = np.zeros((n, max_persons), np.float32)
+        exclude_mask = np.empty(n, dtype=object)
+        person_mask = np.empty(n, dtype=object)
+
+        def encode_mask(m):
+            if m is None or not m.any():
+                return b""
+            ok, buf = cv2.imencode(".png", m.astype(np.uint8) * 255)
+            assert ok
+            return buf.tobytes()
 
         for i, rec in enumerate(chunk):
             if "image" in rec:
@@ -87,6 +101,17 @@ def write_shards(
             valid[i] = padded["valid"]
             p = min(len(rec["area"]), max_persons)
             area[i, :p] = rec["area"][:p]
+            if rec.get("segmentation"):
+                exc, per = region_masks(
+                    rec["segmentation"], rec["iscrowd"],
+                    rec["keypoints"], rec["boxes"],
+                    rec["height"], rec["width"],
+                )
+                exclude_mask[i] = encode_mask(exc)
+                person_mask[i] = encode_mask(per)
+            else:
+                exclude_mask[i] = b""
+                person_mask[i] = b""
 
         path = output_dir / f"shard-{s // shard_size:05d}.npz"
         np.savez_compressed(
@@ -100,6 +125,8 @@ def write_shards(
             iscrowd=iscrowd,
             valid=valid,
             area=area,
+            exclude_mask=exclude_mask,
+            person_mask=person_mask,
         )
         paths.append(path)
     return paths
@@ -112,11 +139,20 @@ def read_shards(directory: str | Path) -> Iterator[dict]:
     for path in sorted(Path(directory).glob("shard-*.npz")):
         shard = np.load(path, allow_pickle=True)
         n = len(shard["height"])
+        has_masks = "exclude_mask" in shard
+
+        def decode_mask(buf):
+            if not buf:
+                return None
+            m = cv2.imdecode(np.frombuffer(buf, np.uint8),
+                             cv2.IMREAD_GRAYSCALE)
+            return m > 127
+
         for i in range(n):
             v = shard["valid"][i]
             raw = np.frombuffer(shard["image_bytes"][i], np.uint8)
             bgr = cv2.imdecode(raw, cv2.IMREAD_COLOR)
-            yield {
+            rec = {
                 "id": i,
                 "file_name": str(shard["file_name"][i]),
                 "height": int(shard["height"][i]),
@@ -127,6 +163,10 @@ def read_shards(directory: str | Path) -> Iterator[dict]:
                 "area": shard["area"][i][v],
                 "image": np.ascontiguousarray(bgr[:, :, ::-1]),
             }
+            if has_masks:
+                rec["exclude_mask"] = decode_mask(shard["exclude_mask"][i])
+                rec["person_mask"] = decode_mask(shard["person_mask"][i])
+            yield rec
 
 
 def prepare_coco(

@@ -103,6 +103,18 @@ def _device_targets(batch: dict, config: Config):
             b, f, hm_h, hm_w, m.output_stride
         )
     )(batch["boxes"], person)
+    if "exclude_cov" in batch:
+        # Real segmentation-derived coverage (data/masks.py; persons
+        # without a segmentation already contributed their box rectangle
+        # on the host, so the coverage maps are complete): soft-weight the
+        # heatmap loss by (1 - crowd/unlabeled coverage) and use the
+        # person coverage as the aux seg target. Images without real
+        # masks (has_mask=False) keep the box-union fallback from above.
+        hm_flag = batch["has_mask"][:, None, None, None]
+        mask = jnp.where(
+            hm_flag, 1.0 - batch["exclude_cov"][..., None], mask
+        )
+        seg = jnp.where(hm_flag, batch["person_cov"][..., None], seg)
 
     anchors = jnp.asarray(all_anchors(s, config.detector))
     cls_t, box_t, _ = targets_lib.batched_label_anchors(
@@ -185,8 +197,15 @@ def make_train_step(config: Config, model: MultiPoseNet | None = None):
             grads, state.opt_state, state.params
         )
         new_params = optax.apply_updates(state.params, updates)
+        # EMA with the reference's warmup ramp (tf.train.
+        # ExponentialMovingAverage with num_updates): early steps use a
+        # small effective decay so the average tracks training instead of
+        # staying anchored at the random init — with a flat 0.999, a
+        # 600-step run's EMA still weights the init 0.55.
+        step = state.step.astype(jnp.float32) + 1.0
+        eff_decay = jnp.minimum(ema_decay, (1.0 + step) / (10.0 + step))
         new_ema = jax.tree_util.tree_map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            lambda e, p: e * eff_decay + p * (1.0 - eff_decay),
             state.ema_params,
             new_params,
         )

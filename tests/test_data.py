@@ -75,7 +75,7 @@ def test_hflip_swaps_lr_keypoints_and_boxes():
     kps[0, 1] = [5.0, 2.0, 2.0]   # left_eye
     kps[0, 2] = [15.0, 2.0, 2.0]  # right_eye
     boxes = np.asarray([[0.0, 2.0, 8.0, 10.0]], np.float32)
-    fimg, fkps, fboxes = aug.hflip(img, kps, boxes)
+    fimg, fkps, fboxes, _ = aug.hflip(img, kps, boxes)
     assert fimg[0, -1, 0] == 255  # marked column moved to the right
     # left_eye slot now holds the flipped right_eye coords: (20-1) - 15 = 4.
     np.testing.assert_allclose(fkps[0, 1, :2], [4.0, 2.0])
@@ -89,7 +89,7 @@ def test_hflip_involution():
     kps = rng.rand(2, 17, 3).astype(np.float32) * 10
     kps[..., 2] = 2.0
     boxes = np.asarray([[1, 2, 10, 20], [0, 0, 5, 5]], np.float32)
-    i2, k2, b2 = aug.hflip(*aug.hflip(img, kps, boxes))
+    i2, k2, b2, _ = aug.hflip(*aug.hflip(img, kps, boxes)[:3])
     np.testing.assert_array_equal(i2, img)
     np.testing.assert_allclose(k2, kps, atol=1e-5)
     np.testing.assert_allclose(b2, boxes, atol=1e-5)
@@ -104,7 +104,8 @@ def test_random_crop_marks_outside_keypoints_invisible():
     boxes = np.asarray([[40, 40, 99, 99]], np.float32)
     found_invisible = False
     for _ in range(20):
-        _, k, _ = aug.random_crop(rng, img, kps, boxes, min_fraction=0.5)
+        _, k, _, _ = aug.random_crop(rng, img, kps, boxes,
+                                     min_fraction=0.5)
         if k[0, 0, 2] == 0.0:
             found_invisible = True
         # Center keypoint coords stay consistent when visible.
@@ -118,7 +119,7 @@ def test_resize_to_geometry_matches_device_preprocess():
     kps = np.zeros((1, 17, 3), np.float32)
     kps[0, 0] = [100.0, 50.0, 2.0]
     boxes = np.asarray([[0, 0, 50, 100]], np.float32)
-    out, k, b = aug.resize_to(img, kps, boxes, 128)
+    out, k, b, _ = aug.resize_to(img, kps, boxes, 128)
     assert out.shape == (128, 128, 3)
     scale = 128 / 100
     np.testing.assert_allclose(k[0, 0, :2], [100 * scale, 50 * scale])
@@ -147,3 +148,31 @@ def test_make_batch_train_augments_deterministically():
     b = make_batch(records, 64, 4, rng=rng2, train=True)
     np.testing.assert_array_equal(a["images"], b["images"])
     np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+
+
+def test_min_side_resize_mode():
+    """Opt-in min-side mode (the reference's convention): scale by the
+    short side, crop the long side, invalidate cropped-out keypoints."""
+    img = np.full((50, 100, 3), 128, np.uint8)
+    kps = np.zeros((2, 17, 3), np.float32)
+    kps[0, 0] = [10.0, 25.0, 2.0]    # stays visible
+    kps[1, 0] = [90.0, 25.0, 2.0]    # cropped away (x*scale > 127)
+    boxes = np.asarray([[0, 0, 50, 40], [0, 60, 50, 100]], np.float32)
+    out, k, b, _ = aug.resize_to(img, kps, boxes, 128, mode="min_side")
+    scale = 128 / 50
+    assert out.shape == (128, 128, 3)
+    np.testing.assert_allclose(k[0, 0, :2], [10 * scale, 25 * scale])
+    assert k[0, 0, 2] == 2.0
+    assert k[1, 0, 2] == 0.0
+    assert b[1, 3] == 127.0  # box clipped at the crop edge
+
+
+def test_color_jitter_hue_saturation_changes_chroma():
+    rng = np.random.RandomState(5)
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0] = 200  # saturated red
+    out = aug.color_jitter(rng, img, brightness=0.0, contrast=0.0,
+                           hue=0.2, saturation=0.5)
+    assert out.shape == img.shape
+    # Some chroma change must have happened (hue rotation or saturation).
+    assert not np.array_equal(out, img)
