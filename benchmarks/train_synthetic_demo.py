@@ -86,8 +86,10 @@ def main() -> None:
 
     prn_state = prn_train.train_prn(
         cfg,
+        # Infinite shuffled loop WITHOUT augmentation (the single-pass
+        # eval iterator would silently cap PRN training at one epoch).
         batch_iterator(train_records, cfg.train.batch_size, size,
-                       cfg.prn.max_persons, train=False),
+                       cfg.prn.max_persons, train=True, augment=False),
         num_steps=args.prn_steps,
         log_fn=lambda m: print(json.dumps(m)),
     )

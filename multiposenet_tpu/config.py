@@ -202,7 +202,8 @@ class Config:
             model=ModelConfig(compute_dtype="bfloat16", kp_head_convs=1,
                               kp_smooth_pyramid=False, head_channels=64,
                               fpn_channels=64),
-            detector=DetectorConfig(num_convs=2, head_channels=64),
+            detector=DetectorConfig(num_convs=2, head_channels=64,
+                                    pre_nms_top_k=256),
             # Half-pitch crop grid: with sub-pixel peak snapping the PRN
             # grid only disambiguates WHICH peak belongs to the person, so
             # 28x18 keeps accuracy while quartering PRN cost.

@@ -141,9 +141,16 @@ def batch_iterator(
     seed: int = 0,
     image_dir: str | None = None,
     train: bool = True,
+    augment: bool | None = None,
     prefetch: int = 2,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Infinite (train) or single-pass (eval) prefetching batch iterator."""
+    """Infinite (train) or single-pass (eval) prefetching batch iterator.
+
+    `augment` defaults to `train`; pass augment=False with train=True for
+    an infinite shuffled loop WITHOUT augmentation (e.g. overfit smokes).
+    """
+    if augment is None:
+        augment = train
     rng = np.random.RandomState(seed)
 
     def gen():
@@ -170,8 +177,8 @@ def batch_iterator(
         for chunk in gen():
             q.put(
                 make_batch(chunk, image_size, max_persons,
-                           rng=wrng if train else None,
-                           image_dir=image_dir, train=train)
+                           rng=wrng if augment else None,
+                           image_dir=image_dir, train=augment)
             )
         q.put(stop)
 

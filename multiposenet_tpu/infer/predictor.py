@@ -288,6 +288,52 @@ class Predictor:
             )
         return results
 
+    def predict_given_boxes(
+        self, image: np.ndarray, boxes: np.ndarray
+    ) -> np.ndarray:
+        """Per-person keypoints for CALLER-SUPPLIED person boxes.
+
+        The reference's PRN is trained and evaluated on GT boxes
+        (SURVEY.md §3.3); this runs the same keypoint-forward → decode →
+        PRN-assignment pipeline with `boxes` ([P, 4] (y0, x0, y1, x1) in
+        original image pixels) instead of the detector output. Returns
+        keypoints[P, 17, 3] rows (x, y, score) in original image coords.
+        """
+        image = np.asarray(image)
+        boxes = np.asarray(boxes, np.float32)
+        p = boxes.shape[0]
+        pad = self.config.prn.max_persons
+        padded = np.zeros((pad, 4), np.float32)
+        padded[:min(p, pad)] = boxes[:pad]
+        out = self._boxes_forward(
+            self.variables, self.prn_variables, jnp.asarray(image),
+            jnp.asarray(padded),
+        )
+        scale = float(out["scale"])
+        kps = np.array(out["keypoints"][0][:p])
+        kps[..., :2] /= scale
+        h, w = image.shape[:2]
+        kps[..., 0] = np.clip(kps[..., 0], 0.0, w - 1)
+        kps[..., 1] = np.clip(kps[..., 1], 0.0, h - 1)
+        return kps
+
+    @functools.cached_property
+    def _boxes_forward(self):
+        def impl(variables, prn_variables, image, boxes):
+            cfg = self.config
+            x, scale = resize_pad_normalize(image, self.image_size)
+            out = self._forward_heatmaps(variables, x[None])
+            stride = float(cfg.model.output_stride)
+            hm_boxes = (boxes * scale / stride)[None]  # [1, P, 4]
+            peaks = self._decode(out["heatmaps"])
+            keypoints = self._prn_assign(
+                prn_variables, out["heatmaps"], hm_boxes, peaks
+            )
+            keypoints = keypoints.at[..., :2].multiply(stride)
+            return {"keypoints": keypoints, "scale": scale}
+
+        return jax.jit(impl)
+
     # ---------------------------------------------------------------- #
     # Sharded batched inference (judged config #5): batch dim sharded
     # data-parallel over the ICI mesh, one XLA program.
