@@ -61,6 +61,15 @@ class ModelConfig:
     # only the keypoint path reads). The detector always sees smoothed
     # P3..P7. Config.fast() sets False.
     kp_smooth_pyramid: bool = True
+    # Fold the per-channel input normalization (x/255 - mean)/std into the
+    # stem conv kernel + a bias (both linear, so the composition is exact;
+    # the model then consumes RAW 0-255 pixels). Deviation: the conv's
+    # SAME zero padding pads raw-black instead of normalized-zero, so the
+    # outermost stem output ring (2 input px) differs from the unfolded
+    # path — out-of-image content is arbitrary either way. Saves the
+    # full-lane normalize pass + retiles the uint8 (not bf16) staging
+    # tensor (~1.3 ms/iter at bs=128). Config.fast() sets True.
+    fold_input_norm: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,7 +210,7 @@ class Config:
         cfg = cls(
             model=ModelConfig(compute_dtype="bfloat16", kp_head_convs=1,
                               kp_smooth_pyramid=False, head_channels=64,
-                              fpn_channels=64),
+                              fpn_channels=64, fold_input_norm=True),
             detector=DetectorConfig(num_convs=2, head_channels=64,
                                     pre_nms_top_k=256),
             # Half-pitch crop grid: with sub-pixel peak snapping the PRN

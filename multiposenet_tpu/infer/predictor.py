@@ -138,7 +138,10 @@ class Predictor:
         self, variables: Any, image: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
         """uint8 [H, W, 3] → heatmaps + decoded peaks, one XLA program."""
-        x, scale = resize_pad_normalize(image, self.image_size)
+        x, scale = resize_pad_normalize(
+            image, self.image_size,
+            normalize_out=not self.config.model.fold_input_norm,
+        )
         out = self._forward_heatmaps(variables, x[None])
         peaks = self._decode(out["heatmaps"])
         peaks = decode_ops.peaks_to_image_coords(
@@ -230,7 +233,10 @@ class Predictor:
         self, variables: Any, prn_variables: Any, image: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
         cfg = self.config
-        x, scale = resize_pad_normalize(image, self.image_size)
+        x, scale = resize_pad_normalize(
+            image, self.image_size,
+            normalize_out=not cfg.model.fold_input_norm,
+        )
         out = self._forward_heatmaps(variables, x[None])
 
         detections = postprocess_detections(
@@ -321,7 +327,10 @@ class Predictor:
     def _boxes_forward(self):
         def impl(variables, prn_variables, image, boxes):
             cfg = self.config
-            x, scale = resize_pad_normalize(image, self.image_size)
+            x, scale = resize_pad_normalize(
+                image, self.image_size,
+                normalize_out=not cfg.model.fold_input_norm,
+            )
             out = self._forward_heatmaps(variables, x[None])
             stride = float(cfg.model.output_stride)
             hm_boxes = (boxes * scale / stride)[None]  # [1, P, 4]
@@ -382,12 +391,17 @@ class Predictor:
             model size runs on device as two constant-matrix matmuls."""
         cfg = self.config
         dtype = jnp.dtype(cfg.model.compute_dtype)
+        raw = cfg.model.fold_input_norm  # stem consumes raw 0-255 pixels
         if images.ndim == 3:
-            x = image_ops.normalize_s2d_flat(images, dtype)
+            x = (image_ops.s2d_flat_to_cells(images, dtype) if raw
+                 else image_ops.normalize_s2d_flat(images, dtype))
         elif images.shape[1:3] == (self.image_size, self.image_size):
-            x = image_ops.normalize(images)
+            x = (images.astype(jnp.float32) if raw
+                 else image_ops.normalize(images))
         else:
-            x = image_ops.resize_normalize_batch(images, self.image_size)
+            x = image_ops.resize_normalize_batch(
+                images, self.image_size, normalize_out=not raw
+            )
         out = self._forward_heatmaps(variables, x)
 
         peaks = self._decode(out["heatmaps"])

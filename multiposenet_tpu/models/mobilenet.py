@@ -155,10 +155,17 @@ class _S2DStemConv(nn.Module):
     (kernel [3, 3, 3, O]), but the MXU sees K=48 contiguous channels
     instead of a stride-2 gather over 3 channels (XLA's C_in=3 conv
     lowering runs ~5x slower than this on v5e; see README perf notes).
+
+    fold_norm: absorb (x/255 - mean)/std into the kernel (scale) + a bias
+    (the tap-sum of the per-channel offsets) — exact composition of two
+    linear maps; the module then consumes RAW 0-255 pixels. Only the SAME
+    zero-pad ring differs (raw-black vs normalized-zero padding; see
+    ModelConfig.fold_input_norm).
     """
 
     features: int
     use_bias: bool = False
+    fold_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,7 +184,26 @@ class _S2DStemConv(nn.Module):
                                                        self.features),
             jnp.float32,
         )
-        k = stem_kernel_to_s2d(kernel).astype(self.dtype)
+        k = stem_kernel_to_s2d(kernel)
+        norm_bias = None
+        if self.fold_norm:
+            from multiposenet_tpu.utils.constants import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            # Per s2d input channel ((py*2+px)*3 + rgb): scale + offset of
+            # the normalize affine.
+            a = jnp.tile(
+                1.0 / (255.0 * jnp.asarray(IMAGENET_STD)), 4 * c // 3
+            )
+            b = jnp.tile(
+                -jnp.asarray(IMAGENET_MEAN) / jnp.asarray(IMAGENET_STD),
+                4 * c // 3,
+            )
+            norm_bias = jnp.einsum("hwco,c->o", k, b)
+            k = k * a[None, None, :, None]
+        k = k.astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, k.shape, ("NHWC", "HWIO", "NHWC")
         )
@@ -186,6 +212,8 @@ class _S2DStemConv(nn.Module):
         y = jax.lax.conv_general_dilated(
             x, k, (1, 1), ((0, 1), (0, 1)), dimension_numbers=dn,
         )
+        if norm_bias is not None:
+            y = y + norm_bias.astype(y.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,),
@@ -206,6 +234,7 @@ class ConvBNRelu6(nn.Module):
     bn_epsilon: float = 1e-3
     bn_folded: bool = False  # inference flavor: conv(kernel, bias)+relu6
     s2d: bool = False  # stem flavor: exact space-to-depth remap
+    fold_norm: bool = False  # stem flavor: input normalize folded in
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -216,11 +245,21 @@ class ConvBNRelu6(nn.Module):
             and self.groups == x.shape[-1] == self.features
             and self.kernel == (3, 3)
         )
-        if self.s2d and self.kernel == (3, 3) and self.strides == (2, 2) \
-                and self.groups == 1 and x.shape[1] % 2 == 0 \
-                and x.shape[2] % 2 == 0:
+        use_s2d = (
+            self.s2d and self.kernel == (3, 3) and self.strides == (2, 2)
+            and self.groups == 1 and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        if self.fold_norm and not use_s2d:
+            # fold_input_norm models take RAW pixels; on the (odd-size)
+            # plain-conv fallback, apply the normalize affine explicitly.
+            from multiposenet_tpu.ops.image import normalize
+
+            x = normalize(x).astype(self.dtype)
+        if use_s2d:
             x = _S2DStemConv(
-                self.features, use_bias=self.bn_folded, dtype=self.dtype,
+                self.features, use_bias=self.bn_folded,
+                fold_norm=self.fold_norm, dtype=self.dtype,
                 name="conv",
             )(x)
         elif is_dw:
@@ -327,6 +366,7 @@ class MobileNetV1(nn.Module):
     bn_epsilon: float = 1e-3
     bn_folded: bool = False
     s2d_stem: bool = True
+    fold_input_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -345,6 +385,7 @@ class MobileNetV1(nn.Module):
             bn_epsilon=self.bn_epsilon,
             bn_folded=self.bn_folded,
             s2d=self.s2d_stem,
+            fold_norm=self.fold_input_norm,
             dtype=self.dtype,
             name="stem",
         )(x, train=train)

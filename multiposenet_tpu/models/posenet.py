@@ -41,6 +41,7 @@ class MultiPoseNet(nn.Module):
             bn_epsilon=cfg.model.bn_epsilon,
             bn_folded=cfg.model.bn_folded,
             s2d_stem=cfg.model.s2d_stem,
+            fold_input_norm=cfg.model.fold_input_norm,
             dtype=dtype,
             name="backbone",
         )

@@ -34,11 +34,15 @@ def normalize(images: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("target_size",))
+@functools.partial(jax.jit,
+                   static_argnames=("target_size", "normalize_out"))
 def resize_pad_normalize(
-    image: jnp.ndarray, target_size: int
+    image: jnp.ndarray, target_size: int, normalize_out: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One uint8 [H, W, 3] image → ([target, target, 3] float32, scale).
+
+    normalize_out=False returns raw 0-255 pixels (for fold_input_norm
+    models, which normalize inside the stem conv).
 
     Returns the normalized padded image and the scalar scale factor applied
     (model coords = original coords * scale). The resize output shape must be
@@ -68,7 +72,7 @@ def resize_pad_normalize(
     col_valid = jnp.arange(target_size) < out_w
     mask = (row_valid[:, None] & col_valid[None, :])[..., None]
     sampled = jnp.where(mask, sampled, 0.0)
-    return normalize(sampled), scale
+    return (normalize(sampled) if normalize_out else sampled), scale
 
 
 def _bilinear_sample_2d(
@@ -142,6 +146,18 @@ def normalize_s2d_flat(
     return x.astype(dtype).reshape(b, hh, wf // 12, 12)
 
 
+def s2d_flat_to_cells(
+    flat: jnp.ndarray, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """Device-side: s2d-flat uint8 [B, Hh, Wh*12] → RAW-pixel
+    [B, Hh, Wh, 12] in `dtype` (no normalization — for models with
+    fold_input_norm, which absorb the normalize affine into the stem
+    conv). The retile copy runs on uint8 (1/2 the bytes of the
+    normalized-bf16 variant)."""
+    b, hh, wf = flat.shape
+    return flat.reshape(b, hh, wf // 12, 12).astype(dtype)
+
+
 def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
     """[out, in] bilinear interpolation matrix, half-pixel convention
     (matches jax.image.resize(method='linear') for down/upscaling)."""
@@ -158,7 +174,8 @@ def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
 
 
 def resize_normalize_batch(
-    images: jnp.ndarray, target_size: int, dtype: jnp.dtype = jnp.float32
+    images: jnp.ndarray, target_size: int, dtype: jnp.dtype = jnp.float32,
+    normalize_out: bool = True,
 ) -> jnp.ndarray:
     """On-device batched resize + normalize: uint8 [B, Hs, Ws, 3] staging
     batch → normalized [B, target, target, 3].
@@ -177,6 +194,8 @@ def resize_normalize_batch(
     # rows[b, i, w, c] = sum_h ry[i, h] x[b, h, w, c]
     x = jnp.einsum("ih,bhwc->biwc", ry, x)
     x = jnp.einsum("jw,biwc->bijc", rx, x)
+    if not normalize_out:
+        return x
     mean = jnp.asarray(IMAGENET_MEAN * 255.0, dtype)
     std = jnp.asarray(IMAGENET_STD * 255.0, dtype)
     return (x - mean) / std

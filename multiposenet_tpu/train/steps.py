@@ -178,7 +178,9 @@ def make_train_step(config: Config, model: MultiPoseNet | None = None):
     def train_step(state: TrainState, batch: dict):
         from multiposenet_tpu.ops.image import normalize
 
-        images = normalize(batch["images"])
+        images = (batch["images"].astype(jnp.float32)
+                  if config.model.fold_input_norm
+                  else normalize(batch["images"]))
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -230,7 +232,9 @@ def make_eval_step(config: Config, model: MultiPoseNet | None = None):
     def eval_step(state: TrainState, batch: dict):
         from multiposenet_tpu.ops.image import normalize
 
-        images = normalize(batch["images"])
+        images = (batch["images"].astype(jnp.float32)
+                  if config.model.fold_input_norm
+                  else normalize(batch["images"]))
         out = model.apply(
             {"params": state.ema_params,
              "batch_stats": state.batch_stats},

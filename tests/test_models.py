@@ -134,3 +134,43 @@ def test_prn_shapes_and_softmax():
     assert out.shape == (4, 17, 28 * 18)
     sums = np.asarray(out).sum(axis=2)  # per-channel spatial softmax
     np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+
+
+def test_fold_input_norm_stem_parity():
+    """fold_input_norm consumes RAW pixels; the stem conv output is
+    EXACTLY the unfolded (normalize-then-conv) result everywhere except
+    the SAME-pad bottom/right ring, where zero padding means raw-black
+    instead of normalized-zero (both arbitrary out-of-image content; the
+    deviation spreads spatially through downstream 3x3 convs, so parity
+    is asserted at the stem where the contract is provable)."""
+    from multiposenet_tpu.models.mobilenet import _S2DStemConv
+    from multiposenet_tpu.ops.image import normalize
+
+    img = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (1, 64, 64, 3), dtype=np.uint8))
+    m = _S2DStemConv(features=8)
+    mf = _S2DStemConv(features=8, fold_norm=True)
+    variables = m.init(jax.random.PRNGKey(0), normalize(img))
+    a = np.asarray(m.apply(variables, normalize(img)))
+    b = np.asarray(mf.apply(variables, img.astype(jnp.float32)))
+    np.testing.assert_allclose(a[:, :-1, :-1], b[:, :-1, :-1],
+                               rtol=1e-5, atol=1e-5)
+    # And the ring genuinely differs (the documented deviation is real).
+    assert np.abs(a[:, -1] - b[:, -1]).max() > 1e-3
+
+
+def test_fold_input_norm_model_runs_raw():
+    """Full model with fold_input_norm consumes raw uint8-ranged pixels
+    and produces finite heatmaps of the right shape."""
+    import dataclasses
+
+    cfg = _tiny_config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                fold_input_norm=True))
+    model = MultiPoseNet(config=cfg, with_detector=False)
+    img = jnp.asarray(np.random.RandomState(1).randint(
+        0, 255, (1, SIZE, SIZE, 3), dtype=np.uint8)).astype(jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    out = model.apply(variables, img, train=False)
+    assert out["heatmaps"].shape == (1, SIZE // 4, SIZE // 4, 17)
+    assert np.isfinite(np.asarray(out["heatmaps"])).all()
