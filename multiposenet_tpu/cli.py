@@ -2,6 +2,8 @@
 evaluate / demo notebooks, as one CLI).
 
 Usage:
+    python -m multiposenet_tpu prepare --coco-json ann.json \
+        --image-dir images/ --output-dir shards/
     python -m multiposenet_tpu train  --config cfg.json --coco-json ann.json \
         --image-dir images/ [--synthetic N]
     python -m multiposenet_tpu train-prn --synthetic 512 --steps 1000
@@ -36,6 +38,28 @@ def _load_records(args):
 
     n = args.synthetic or 64
     return make_dataset(n, img_h=256, img_w=256, seed=0)
+
+
+def cmd_prepare(args) -> None:
+    """The reference's create_tfrecords.py: COCO JSON + images → shards
+    (with segmentation union masks; see data/prepare.py)."""
+    from multiposenet_tpu.data.prepare import prepare_coco
+    from multiposenet_tpu.data.prepare import write_shards
+
+    if args.coco_json:
+        paths = prepare_coco(
+            args.coco_json, args.image_dir, args.output_dir,
+            shard_size=args.shard_size, max_persons=args.max_persons,
+        )
+    else:
+        from multiposenet_tpu.data.synthetic import make_dataset
+
+        records = make_dataset(args.synthetic or 64, seed=0)
+        paths = write_shards(
+            records, args.output_dir, shard_size=args.shard_size,
+            max_persons=args.max_persons,
+        )
+    print(json.dumps({"shards": [str(p) for p in paths]}))
 
 
 def cmd_train(args) -> None:
@@ -165,6 +189,15 @@ def main(argv=None) -> None:
         p.add_argument("--synthetic", type=int,
                        help="use N synthetic images instead of COCO")
         p.add_argument("--model-dir", help="export/load directory")
+
+    p = sub.add_parser(
+        "prepare", help="COCO JSON + images → packed npz shards"
+    )
+    common(p)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--shard-size", type=int, default=1024)
+    p.add_argument("--max-persons", type=int, default=32)
+    p.set_defaults(fn=cmd_prepare)
 
     p = sub.add_parser("train", help="train the pose network")
     common(p)

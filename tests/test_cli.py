@@ -72,3 +72,16 @@ def test_cli_predict_writes_visualization(tiny_config_file, tmp_path,
     assert Path(out_path).exists()
     vis = cv2.imread(out_path)
     assert vis.shape == (80, 96, 3)
+
+
+def test_cli_prepare_synthetic(tmp_path):
+    from multiposenet_tpu.cli import main
+
+    out = tmp_path / "shards"
+    main(["prepare", "--synthetic", "3", "--output-dir", str(out),
+          "--shard-size", "2", "--max-persons", "6"])
+    from multiposenet_tpu.data.prepare import read_shards
+
+    records = list(read_shards(out))
+    assert len(records) == 3
+    assert records[0]["image"].shape[-1] == 3
