@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ from multiposenet_tpu.ops.decode_pallas import decode_heatmaps_pallas
 from multiposenet_tpu.ops.detection import postprocess_detections
 from multiposenet_tpu.ops import image as image_ops
 from multiposenet_tpu.ops.image import resize_pad_normalize
-from multiposenet_tpu.utils.constants import NUM_KEYPOINTS
 
 
 @dataclasses.dataclass

@@ -99,14 +99,6 @@ def _bilinear_sample_2d(
     return top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
 
 
-# NOTE: no donate_argnums — donation breaks the axon PJRT plugin (see
-# train/loop.py). The uint8 batch is still freed after the fused cast.
-@jax.jit
-def normalize_batch(images: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [B, H, W, 3] batch → normalized float32 (fixed size)."""
-    return normalize(images)
-
-
 def space_to_depth_flat(images: np.ndarray) -> np.ndarray:
     """HOST-side staging: uint8 [B, H, W, 3] → [B, H/2, (W/2)*12] uint8.
 

@@ -32,8 +32,6 @@ is the fastest arrangement of the whole crop→MLP→readout pipeline.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -174,17 +174,37 @@ def train_prn(
     batches: Iterator[dict],
     num_steps: int,
     log_fn=None,
+    checkpoint_dir: str | None = None,
+    save_interval_steps: int = 500,
+    max_to_keep: int = 2,
 ) -> PRNTrainState:
-    """Standalone PRN training (the reference's separate train_prn.py)."""
+    """Standalone PRN training (the reference's separate train_prn.py,
+    which saves "a small ckpt" — here optional Orbax checkpoint/resume
+    via the same manager the main trainer uses)."""
     state = create_prn_state(config, jax.random.PRNGKey(config.train.seed))
+    mgr = None
+    done = 0
+    if checkpoint_dir:
+        from multiposenet_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir, save_interval_steps,
+                                max_to_keep)
+        state, done = mgr.restore(state)
     step_fn = jax.jit(make_prn_train_step(config))
-    for i, batch in enumerate(batches):
-        if i >= num_steps:
+    for batch in batches:
+        if done >= num_steps:
             break
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
-        if log_fn and (i + 1) % 50 == 0:
+        done += 1
+        if log_fn and done % 50 == 0:
             log_fn({k: float(v) for k, v in metrics.items()} | {
-                "step": i + 1
+                "step": done
             })
+        if mgr and mgr.should_save(done):
+            mgr.save(jax.device_get(state))
+    if mgr:
+        mgr.save(jax.device_get(state), force=True)
+        mgr.wait()
+        mgr.close()
     return state

@@ -12,7 +12,6 @@ gradient all-reduce rides ICI automatically (SURVEY.md §5 collectives:
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import flax.struct

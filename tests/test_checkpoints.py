@@ -51,3 +51,32 @@ def test_restore_without_checkpoint_returns_template():
         assert step == 0
         assert restored is template
         mgr.close()
+
+
+def test_prn_checkpoint_resume(tmp_path):
+    """PRN trainer saves/resumes via Orbax like the main trainer."""
+    from multiposenet_tpu.config import (Config, ModelConfig, PRNConfig,
+                                         TrainConfig)
+    from multiposenet_tpu.data.loader import batch_iterator
+    from multiposenet_tpu.data.synthetic import make_dataset
+    from multiposenet_tpu.train import prn_train
+
+    cfg = Config(
+        model=ModelConfig(backbone_width=0.25),
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32,
+                      max_persons=4),
+        train=TrainConfig(image_size=64, batch_size=2, seed=0),
+    )
+    records = make_dataset(8, img_h=64, img_w=64, seed=0)
+
+    def batches():
+        return batch_iterator(records, 2, 64, 4, train=True, augment=False)
+
+    d = str(tmp_path / "prn_ckpt")
+    s1 = prn_train.train_prn(cfg, batches(), num_steps=4,
+                             checkpoint_dir=d, save_interval_steps=2)
+    assert int(s1.step) == 4
+    # Resume: 4 steps already done, target 6 → exactly 2 more.
+    s2 = prn_train.train_prn(cfg, batches(), num_steps=6,
+                             checkpoint_dir=d, save_interval_steps=2)
+    assert int(s2.step) == 6
