@@ -82,9 +82,12 @@ def _decode_kernel(
     the untiled leading dim poorly; 2-axis keepdims reduces crash its
     layout pass outright). Each round is ~5 full-map
     passes: max, masked min-index, one masked sub-pixel sum (both shift
-    signs packed into one f32 map as sign_y*4+sign_x), mask update. A 2x
-    row-fold before selection measured perf-NEUTRAL — the rounds are
-    stall-bound, not bandwidth-bound — so it was dropped for exactness.
+    signs packed into one f32 map as sign_y*4+sign_x), mask update. Two
+    further variants measured perf-NEUTRAL and were dropped: a 2x row-fold
+    before selection (rounds are stall-bound, not bandwidth-bound) and
+    lax.cond-gated early exit once the running max drops below the score
+    threshold (contract-exact, but the cond overhead ate the skipped
+    passes even with ALL rounds skippable).
     """
     neg_inf = jnp.float32(-jnp.inf)
     sh = sh_ref[:]
