@@ -66,3 +66,46 @@ def test_sharded_batch_inference_matches_single_device():
         np.asarray(single["keypoints"])[0],
         rtol=1e-4, atol=1e-3,
     )
+
+
+def test_batch_runner_fold_input_norm():
+    """The DP-sharded batched path with fold_input_norm (raw uint8 pixels
+    into the folded stem) runs under an 8-device mesh and matches the
+    unsharded single-device forward."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from multiposenet_tpu.config import (Config, DecodeConfig,
+                                         DetectorConfig, ModelConfig,
+                                         PRNConfig, TrainConfig)
+    from multiposenet_tpu.infer.predictor import Predictor
+    from multiposenet_tpu.parallel import mesh as mesh_lib
+
+    cfg = Config(
+        model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                          head_channels=32, fold_input_norm=True),
+        detector=DetectorConfig(pre_nms_top_k=64, max_detections=4,
+                                score_threshold=0.0),
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32,
+                      max_persons=4),
+        decode=DecodeConfig(max_peaks_per_channel=4),
+        train=TrainConfig(image_size=64, batch_size=8),
+    )
+    predictor = Predictor(config=cfg, image_size=64,
+                          use_pallas_decode=False)
+    mesh = mesh_lib.make_mesh()
+    run = predictor.make_batch_runner(mesh)
+    images = np.random.RandomState(0).randint(
+        0, 255, (8, 64, 64, 3), dtype=np.uint8
+    )
+    out = run(images)
+    single = predictor._batch_forward_impl(
+        predictor.variables, predictor.prn_variables,
+        jax.numpy.asarray(images),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["keypoints"]), np.asarray(single["keypoints"]),
+        rtol=1e-4, atol=1e-4,
+    )
