@@ -76,8 +76,31 @@ def make_predictor(image_size: int, bf16: bool = True):
     return Predictor(config=cfg, image_size=image_size)
 
 
+def _planted_scene_batch(rng, batch_size: int, image_size: int) -> np.ndarray:
+    """uint8 batch of synthetic multi-person scenes: ≥8 bright Gaussian
+    blobs per image (real above-threshold decode peaks + NMS/PRN work)
+    instead of uniform noise. Confirms the headline is input-independent
+    (VERDICT r2 weak item 8: decode/NMS shapes are fixed, but the PRN snap
+    path's jnp.where masks could in principle hide data-dependent cost)."""
+    imgs = rng.randint(0, 40, (batch_size, image_size, image_size, 3),
+                       dtype=np.uint8)
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+    for i in range(batch_size):
+        blob = np.zeros((image_size, image_size), np.float32)
+        for _ in range(10):
+            cy, cx = rng.uniform(30, image_size - 30, 2)
+            sig = rng.uniform(8, 20)
+            blob += 215.0 * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)
+            )
+        imgs[i] = np.clip(
+            imgs[i].astype(np.float32) + blob[..., None], 0, 255
+        ).astype(np.uint8)
+    return imgs
+
+
 def bench_e2e(batch_size: int = 64, image_size: int = 512,
-              n_iters: int = 10) -> dict:
+              n_iters: int = 10, planted_peaks: bool = False) -> dict:
     """Headline: full pipeline throughput on one chip."""
     import jax
     import jax.numpy as jnp
@@ -91,10 +114,15 @@ def bench_e2e(batch_size: int = 64, image_size: int = 512,
     # space-to-depth flat layout the loader threads produce (the [.., 3]
     # channel layout runs at 3/128 lane density on TPU — see ops/image.py).
     n_bufs = 4
+    make = (
+        (lambda: _planted_scene_batch(rng, batch_size, image_size))
+        if planted_peaks else
+        (lambda: rng.randint(0, 255,
+                             (batch_size, image_size, image_size, 3),
+                             dtype=np.uint8))
+    )
     batches = [
-        jax.device_put(jnp.asarray(space_to_depth_flat(rng.randint(
-            0, 255, (batch_size, image_size, image_size, 3), dtype=np.uint8
-        ))))
+        jax.device_put(jnp.asarray(space_to_depth_flat(make())))
         for _ in range(n_bufs)
     ]
     fn = jax.jit(predictor._batch_forward_impl)
@@ -109,7 +137,9 @@ def bench_e2e(batch_size: int = 64, image_size: int = 512,
     sec = _timeit(run, n_iters)
     ips = batch_size / sec
     return {
-        "metric": "e2e_pose_images_per_sec_per_chip_512",
+        "metric": ("e2e_pose_images_per_sec_per_chip_512_planted"
+                   if planted_peaks else
+                   "e2e_pose_images_per_sec_per_chip_512"),
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
@@ -419,6 +449,9 @@ def main() -> None:
                         help="judged config 1..5; 6 = train step; "
                              "0 = headline e2e")
     parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--planted-peaks", action="store_true",
+                        help="headline variant on scenes with real "
+                             "above-threshold peaks and >=8 blobs")
     parser.add_argument("--host-e2e", action="store_true",
                         help="BASELINE.md metric definition: include host "
                              "JPEG decode + staging + H2D in the wall "
@@ -428,7 +461,8 @@ def main() -> None:
     if args.host_e2e:
         result = bench_host_e2e(batch_size=args.batch_size)
     elif args.config == 0:
-        result = bench_e2e(batch_size=args.batch_size)
+        result = bench_e2e(batch_size=args.batch_size,
+                           planted_peaks=args.planted_peaks)
     else:
         result = [bench_config_1, bench_config_2, bench_config_3,
                   bench_config_4, bench_config_5,

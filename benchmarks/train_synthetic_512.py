@@ -1,0 +1,119 @@
+"""Quality evidence at the SHIPPED 512x512 operating point (VERDICT r2
+item 2): train the exact Config.fast() architecture that bench.py
+benchmarks — same widths, same kp_p2_late head, same backbone trim, bf16
+— at 512², on synthetic scenes including ≥8-person crowds, then report
+OKS AP from the real predict() pipeline (detector-driven AND GT-box PRN
+protocol) next to the throughput headline.
+
+The only deltas from the benchmarked config are training-dynamics knobs
+that do not change the inference graph: bn_momentum (short-run BN stat
+tracking — NOTES_r2) and f32 compute for training stability (the
+benchmark's bf16 inference runs on the SAME trained weights; bf16-vs-f32
+inference parity is covered by tests/test_predictor.py).
+
+Usage: python benchmarks/train_synthetic_512.py [--steps 1200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from multiposenet_tpu.config import Config, DecodeConfig, TrainConfig
+from multiposenet_tpu.data.loader import batch_iterator
+from multiposenet_tpu.data.synthetic import make_dataset
+from multiposenet_tpu.eval.oks import DetectionKP, KeypointEvaluator
+from multiposenet_tpu.eval.runner import (
+    evaluate_predictor,
+    record_ground_truths,
+)
+from multiposenet_tpu.infer.predictor import Predictor
+from multiposenet_tpu.train import prn_train
+from multiposenet_tpu.train.loop import train
+
+SIZE = 512
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=1200)
+    parser.add_argument("--prn-steps", type=int, default=400)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--eval-images", type=int, default=32)
+    parser.add_argument("--train-images", type=int, default=192)
+    args = parser.parse_args()
+
+    cfg = Config.fast()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, compute_dtype="float32", bn_momentum=0.95,
+        ),
+        decode=DecodeConfig(score_threshold=0.1),
+        train=TrainConfig(
+            image_size=SIZE, batch_size=args.batch_size,
+            num_steps=args.steps, warmup_steps=50, learning_rate=2e-3,
+            log_interval_steps=50,
+        ),
+    )
+    # Crowded scenes: up to 8 persons (BASELINE.json config 4 regime).
+    train_records = make_dataset(args.train_images, img_h=SIZE, img_w=SIZE,
+                                 min_persons=1, max_persons=8, seed=0)
+    eval_records = make_dataset(args.eval_images, img_h=SIZE, img_w=SIZE,
+                               min_persons=2, max_persons=8, seed=999)
+
+    t0 = time.time()
+    state = train(
+        cfg,
+        batch_iterator(train_records, cfg.train.batch_size, SIZE,
+                       cfg.prn.max_persons, train=True),
+        checkpoint=False,
+        log_fn=lambda m: print(json.dumps(m), flush=True),
+    )
+    print(f"# trained {args.steps} steps in {time.time() - t0:.0f}s",
+          flush=True)
+
+    prn_state = prn_train.train_prn(
+        cfg,
+        batch_iterator(train_records, cfg.train.batch_size, SIZE,
+                       cfg.prn.max_persons, train=True, augment=False),
+        num_steps=args.prn_steps,
+        log_fn=lambda m: print(json.dumps(m), flush=True),
+    )
+
+    state = jax.device_get(state)
+    predictor = Predictor(
+        config=cfg,
+        variables={"params": state.ema_params,
+                   "batch_stats": state.batch_stats},
+        prn_variables=jax.device_get(prn_state.params),
+        image_size=SIZE,
+    )
+
+    # Detector-driven end-to-end AP (the predict() contract).
+    stats = evaluate_predictor(predictor, eval_records)
+    print(json.dumps({"e2e_512": stats}), flush=True)
+
+    # GT-box PRN protocol (the reference's PRN evaluation).
+    ev = KeypointEvaluator()
+    for rec in eval_records:
+        kps = predictor.predict_given_boxes(rec["image"], rec["boxes"])
+        dts = [DetectionKP(keypoints=kps[p].astype(np.float32), score=1.0)
+               for p in range(len(rec["boxes"]))]
+        ev.add_image(record_ground_truths(rec), dts)
+    print(json.dumps({"gtbox_512": ev.summarize()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

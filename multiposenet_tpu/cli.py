@@ -81,6 +81,7 @@ def cmd_train(args) -> None:
         config.prn.max_persons,
         image_dir=args.image_dir,
         train=True,
+        mask_stride=config.model.output_stride,
     )
     state = train(config, batches, log_fn=lambda m: print(json.dumps(m)))
 
@@ -112,6 +113,7 @@ def cmd_train_prn(args) -> None:
         config.prn.max_persons,
         image_dir=args.image_dir,
         train=True,
+        mask_stride=config.model.output_stride,
     )
     state = train_prn(config, batches, num_steps=args.steps or 1000,
                       log_fn=lambda m: print(json.dumps(m)))

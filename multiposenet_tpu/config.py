@@ -61,6 +61,16 @@ class ModelConfig:
     # only the keypoint path reads). The detector always sees smoothed
     # P3..P7. Config.fast() sets False.
     kp_smooth_pyramid: bool = True
+    # Keypoint towers + fuse conv run at stride 8; stride 4 sees only the
+    # final upsample-add + output conv (see models/keypoint_head.py
+    # p2_late). Config.fast() sets True.
+    kp_p2_late: bool = False
+    # Cap on backbone channel widths (0 = uncapped). The MobileNet tail
+    # (five 512-ch blocks at stride 16, 1024-ch at stride 32) is sized for
+    # ImageNet classification; for dense pose heads the FPN laterals
+    # project everything to fpn_channels anyway, so capping the tail
+    # trades HBM traffic for capacity measured on the synthetic benchmark.
+    backbone_max_channels: int = 0
     # Fold the per-channel input normalization (x/255 - mean)/std into the
     # stem conv kernel + a bias (both linear, so the composition is exact;
     # the model then consumes RAW 0-255 pixels). Deviation: the conv's

@@ -143,11 +143,15 @@ def batch_iterator(
     train: bool = True,
     augment: bool | None = None,
     prefetch: int = 2,
+    mask_stride: int = 4,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Infinite (train) or single-pass (eval) prefetching batch iterator.
 
     `augment` defaults to `train`; pass augment=False with train=True for
     an infinite shuffled loop WITHOUT augmentation (e.g. overfit smokes).
+    `mask_stride` must equal the model's output_stride so the coverage
+    maps land at heatmap-loss resolution (callers pass
+    config.model.output_stride).
     """
     if augment is None:
         augment = train
@@ -178,7 +182,8 @@ def batch_iterator(
             q.put(
                 make_batch(chunk, image_size, max_persons,
                            rng=wrng if augment else None,
-                           image_dir=image_dir, train=augment)
+                           image_dir=image_dir, train=augment,
+                           mask_stride=mask_stride)
             )
         q.put(stop)
 

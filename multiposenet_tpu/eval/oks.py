@@ -41,10 +41,13 @@ from multiposenet_tpu.utils.constants import NUM_KEYPOINTS, OKS_SIGMAS
 
 OKS_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 RECALL_THRESHOLDS = np.linspace(0.0, 1.0, 101)
+# pycocotools' exact areaRng values: bounds are INCLUSIVE on both ends
+# (its tests are `area < a0 or area > a1`), and the upper limit is 1e10,
+# not inf — an area of exactly 96^2 belongs to BOTH medium and large.
 AREA_RANGES = {
-    "all": (0.0, float(np.inf)),
+    "all": (0.0, 1e10),
     "medium": (32.0**2, 96.0**2),
-    "large": (96.0**2, float(np.inf)),
+    "large": (96.0**2, 1e10),
 }
 MAX_DETS = 20
 
@@ -158,7 +161,7 @@ def _evaluate_image(
     gt_ignore = np.array([
         g.iscrowd
         or not (g.keypoints[:, 2] > 0).any()
-        or not (area_range[0] <= g.area < area_range[1])
+        or g.area < area_range[0] or g.area > area_range[1]
         for g in gts
     ], dtype=bool)
     # Evaluate non-ignored GTs first in the greedy scan.
@@ -214,7 +217,7 @@ def _evaluate_image(
     # Unmatched detections outside the area range are ignored, not FPs.
     if d_count:
         dt_areas = np.array([_dt_area(d) for d in dts])
-        outside = (dt_areas < area_range[0]) | (dt_areas >= area_range[1])
+        outside = (dt_areas < area_range[0]) | (dt_areas > area_range[1])
         dt_ignore |= ~dt_matched & outside[None]
 
     dt_scores = np.array([d.score for d in dts])

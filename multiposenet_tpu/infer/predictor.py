@@ -305,17 +305,25 @@ class Predictor:
         keypoints[P, 17, 3] rows (x, y, score) in original image coords.
         """
         image = np.asarray(image)
-        boxes = np.asarray(boxes, np.float32)
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         p = boxes.shape[0]
         pad = self.config.prn.max_persons
-        padded = np.zeros((pad, 4), np.float32)
-        padded[:min(p, pad)] = boxes[:pad]
-        out = self._boxes_forward(
-            self.variables, self.prn_variables, jnp.asarray(image),
-            jnp.asarray(padded),
-        )
-        scale = float(out["scale"])
-        kps = np.array(out["keypoints"][0][:p])
+        # More boxes than the static PRN slot count: chunk through repeated
+        # forward calls (re-runs the keypoint forward per chunk) instead of
+        # silently truncating (ADVICE r2).
+        scale = 1.0
+        pieces = []
+        for s in range(0, max(p, 1), pad):
+            chunk = boxes[s:s + pad]
+            padded = np.zeros((pad, 4), np.float32)
+            padded[:len(chunk)] = chunk
+            out = self._boxes_forward(
+                self.variables, self.prn_variables, jnp.asarray(image),
+                jnp.asarray(padded),
+            )
+            scale = float(out["scale"])
+            pieces.append(np.array(out["keypoints"][0][:len(chunk)]))
+        kps = np.concatenate(pieces, axis=0)[:p]
         kps[..., :2] /= scale
         h, w = image.shape[:2]
         kps[..., 0] = np.clip(kps[..., 0], 0.0, w - 1)

@@ -37,6 +37,15 @@ class KeypointHead(nn.Module):
     channels: int = 128
     num_convs: int = 2
     with_segmentation: bool = True
+    # p2_late: run towers + fuse at stride 8 and touch stride 4 only with
+    # the final upsample-add + output conv. The stride-4 towers are the
+    # single most expensive convs in the whole model (a 3x3 at 128² is 4x
+    # the FLOPs of the same conv at 64², and 64-wide channels cap the MXU
+    # at half its lanes), so the fast() operating point trades per-level
+    # P2 processing for the P2 information already present in the FPN
+    # top-down map. Quality cost measured on the synthetic 512² benchmark
+    # (README perf/quality table).
+    p2_late: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -46,8 +55,11 @@ class KeypointHead(nn.Module):
         del train
         # Per-level towers ("phi heads" in the paper), accumulated
         # coarse→fine so each 2x upsample runs at the coarser resolution.
+        tower_levels = ("P5", "P4", "P3") if self.p2_late else (
+            "P5", "P4", "P3", "P2"
+        )
         summed = None
-        for level in ("P5", "P4", "P3", "P2"):
+        for level in tower_levels:
             x = pyramid[level]
             for i in range(self.num_convs):
                 x = nn.Conv(
@@ -62,6 +74,10 @@ class KeypointHead(nn.Module):
             name="fuse",
         )(summed)
         x = nn.relu(x)
+        if self.p2_late:
+            # Stride-4 entry point: top-down P2 + upsampled fused stride-8
+            # context; the output conv below is the only stride-4 conv.
+            x = pyramid["P2"] + nearest_upsample_2x(x)
 
         k = self.num_keypoints
         hm_kernel = self.param(

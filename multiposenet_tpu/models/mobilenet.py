@@ -362,6 +362,7 @@ class MobileNetV1(nn.Module):
 
     width: float = 1.0
     min_channels: int = 8
+    max_channels: int = 0  # 0 = uncapped (ModelConfig.backbone_max_channels)
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
     bn_folded: bool = False
@@ -374,7 +375,8 @@ class MobileNetV1(nn.Module):
         self, x: jnp.ndarray, train: bool = False
     ) -> dict[str, jnp.ndarray]:
         def ch(c: int) -> int:
-            return max(self.min_channels, _make_divisible(c * self.width))
+            out = max(self.min_channels, _make_divisible(c * self.width))
+            return min(out, self.max_channels) if self.max_channels else out
 
         x = x.astype(self.dtype)
         x = ConvBNRelu6(

@@ -37,6 +37,7 @@ class MultiPoseNet(nn.Module):
         backbone = MobileNetV1(
             width=cfg.model.backbone_width,
             min_channels=cfg.model.min_backbone_channels,
+            max_channels=cfg.model.backbone_max_channels,
             bn_momentum=cfg.model.bn_momentum,
             bn_epsilon=cfg.model.bn_epsilon,
             bn_folded=cfg.model.bn_folded,
@@ -57,6 +58,7 @@ class MultiPoseNet(nn.Module):
             channels=cfg.model.head_channels,
             num_convs=cfg.model.kp_head_convs,
             with_segmentation=cfg.model.with_segmentation,
+            p2_late=cfg.model.kp_p2_late,
             dtype=dtype,
             name="keypoint_head",
         )

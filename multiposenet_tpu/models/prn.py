@@ -50,9 +50,16 @@ class PRN(nn.Module):
         flat_dim = hw * self.num_keypoints
         x = crops.astype(self.dtype).reshape(n, flat_dim)
 
-        h = nn.Dense(self.hidden_units, dtype=self.dtype, name="hidden")(x)
+        # Layout-versioned names: the flatten order changed from row-major
+        # [i*cw+j interleaved with K] to channel-major [K, j*ch+i] in
+        # round 2; the Dense shapes are identical, so params trained
+        # against the OLD order would restore silently-permuted. The "_cm"
+        # (channel-major) names make any stale-layout checkpoint fail
+        # loudly with a tree mismatch instead (ADVICE r2).
+        h = nn.Dense(self.hidden_units, dtype=self.dtype,
+                     name="hidden_cm")(x)
         h = nn.relu(h)
-        out = nn.Dense(flat_dim, dtype=self.dtype, name="out")(h)
+        out = nn.Dense(flat_dim, dtype=self.dtype, name="out_cm")(h)
         out = out + x  # residual add of the input crop (PAPER §3.3)
 
         out = out.reshape(n, self.num_keypoints, hw)

