@@ -5,15 +5,15 @@ and the round-1 verdict's quality mandate: nothing previously proved the
 framework can pose-estimate. This trains the tiny operating point from
 scratch on synthetic blob scenes (~3 min on CPU), then asserts:
 
-  * GT-box AP50 ≥ 0.8 and AP ≥ 0.3 — heatmaps + decode + PRN assignment
-    produce correct poses when given the person boxes (the reference's
-    PRN evaluation protocol; measured 1.0 / 0.585 at calibration).
-  * Mean matched keypoint localization error < 1.5 heatmap px (measured
-    0.45) — the sub-pixel peak-snap path works (round-1 verdict item 3's
-    "done" criterion was < 2 px).
-  * Detector-driven end-to-end AP50 ≥ 0.15 (measured 0.52; the loose
-    floor absorbs detector variance at this tiny scale — the full-scale
-    evidence is benchmarks/train_synthetic_demo.py, AP50 0.96 on TPU).
+  * GT-box AP50 ≥ 0.8, AP ≥ 0.4, AP75 ≥ 0.5 — heatmaps + decode + PRN
+    assignment produce correct poses when given the person boxes (the
+    reference's PRN evaluation protocol; measured 1.0 / 0.548 / 0.692 at
+    round-3 calibration with 500 training steps).
+  * Mean matched keypoint localization error < 1.0 heatmap px (measured
+    0.45) — the sub-pixel peak-snap path works.
+  * Detector-driven end-to-end AP50 ≥ 0.5, AR50 ≥ 0.6 (measured
+    0.576 / 0.706; tightened from round 2's 0.15 floor per VERDICT —
+    the full-scale evidence is benchmarks/train_synthetic_512.py).
 
 Determinism: all seeds fixed; training uses the infinite unaugmented
 loader so the data stream is identical across runs.
@@ -56,7 +56,7 @@ def _config() -> Config:
         prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=128,
                       max_persons=4),
         decode=DecodeConfig(score_threshold=0.1),
-        train=TrainConfig(image_size=SIZE, batch_size=8, num_steps=300,
+        train=TrainConfig(image_size=SIZE, batch_size=8, num_steps=500,
                           warmup_steps=20, learning_rate=3e-3, seed=0),
     )
 
@@ -78,7 +78,7 @@ def trained():
         cfg,
         batch_iterator(records, 8, SIZE, cfg.prn.max_persons, train=True,
                        augment=False),
-        num_steps=120,
+        num_steps=150,
     )
     state = jax.device_get(state)
     predictor = Predictor(
@@ -112,13 +112,14 @@ def test_gt_box_ap_floor_and_localization(trained):
     err_hm_px = float(np.concatenate(errs).mean()) / 4.0
     print(json.dumps({"gtbox": stats, "mean_err_hm_px": err_hm_px}))
     assert stats["AP50"] >= 0.8, stats
-    assert stats["AP"] >= 0.3, stats
-    assert err_hm_px < 1.5, err_hm_px
+    assert stats["AP"] >= 0.4, stats
+    assert stats["AP75"] >= 0.5, stats
+    assert err_hm_px < 1.0, err_hm_px
 
 
 def test_detector_e2e_ap_floor(trained):
     predictor, eval_records = trained
     stats = evaluate_predictor(predictor, eval_records)
     print(json.dumps({"e2e": stats}))
-    assert stats["AP50"] >= 0.15, stats
-    assert stats["AR50"] >= 0.25, stats
+    assert stats["AP50"] >= 0.5, stats
+    assert stats["AR50"] >= 0.6, stats
