@@ -61,6 +61,13 @@ class ModelConfig:
     # only the keypoint path reads). The detector always sees smoothed
     # P3..P7. Config.fast() sets False.
     kp_smooth_pyramid: bool = True
+    # Stem stride: 2 = the faithful MobileNet-v1 3x3/s2 stem; 4 = a
+    # 4x4/s4 stem computed as ONE dense matmul over double
+    # space-to-depth cells (models/mobilenet._S4StemConv) with block_1's
+    # stride dropped so C2..C5 keep their strides. Removes the whole
+    # 256²-at-512² stage (~24 MB/image of HBM traffic). Config.fast()
+    # sets 4; quality cost measured on the 512² synthetic benchmark.
+    stem_stride: int = 2
     # Keypoint towers + fuse conv run at stride 8; stride 4 sees only the
     # final upsample-add + output conv (see models/keypoint_head.py
     # p2_late). Config.fast() sets True.
@@ -220,7 +227,17 @@ class Config:
         cfg = cls(
             model=ModelConfig(compute_dtype="bfloat16", kp_head_convs=1,
                               kp_smooth_pyramid=False, head_channels=64,
-                              fpn_channels=64, fold_input_norm=True),
+                              fpn_channels=64, fold_input_norm=True,
+                              # Round-3 structural levers, each measured
+                              # at bs=128/512² on v5e (NOTES_r3.md):
+                              # stride-8 keypoint head (-3.2 ms/iter),
+                              # matmul s4 stem killing the 256² stage
+                              # (-3.1), backbone tail trim (-4.0),
+                              # width 0.75 (-1.8); quality at THIS
+                              # operating point: README 512² table.
+                              kp_p2_late=True, stem_stride=4,
+                              backbone_max_channels=256,
+                              backbone_width=0.75),
             detector=DetectorConfig(num_convs=2, head_channels=64,
                                     pre_nms_top_k=256),
             # Half-pitch crop grid: with sub-pixel peak snapping the PRN

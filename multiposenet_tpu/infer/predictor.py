@@ -27,7 +27,10 @@ from multiposenet_tpu.models.posenet import MultiPoseNet
 from multiposenet_tpu.models.prn import PRN
 from multiposenet_tpu.ops import decode as decode_ops
 from multiposenet_tpu.ops import prn_ops
-from multiposenet_tpu.ops.decode_pallas import decode_heatmaps_pallas
+from multiposenet_tpu.ops.decode_pallas import (
+    decode_heatmaps_pallas,
+    decode_heatmaps_pallas_t,
+)
 from multiposenet_tpu.ops.detection import postprocess_detections
 from multiposenet_tpu.ops import image as image_ops
 from multiposenet_tpu.ops.image import resize_pad_normalize
@@ -133,6 +136,16 @@ class Predictor:
                                           self.config.decode)
         return decode_ops.decode_heatmaps(heatmaps, self.config.decode)
 
+    def _decode_cm(self, heatmaps: jnp.ndarray, hm_cm: jnp.ndarray):
+        """Decode from the shared channel-major layout (falls back to the
+        jnp reference on the [B, H, W, K] tensor off-TPU)."""
+        if self.use_pallas_decode:
+            b, k, h, w = hm_cm.shape
+            return decode_heatmaps_pallas_t(
+                hm_cm.reshape(b * k, h, w), (b, k), self.config.decode
+            )
+        return decode_ops.decode_heatmaps(heatmaps, self.config.decode)
+
     def _kp_forward_impl(
         self, variables: Any, image: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
@@ -190,21 +203,30 @@ class Predictor:
     # forward + detection + PRN assignment, one XLA program.
     # ---------------------------------------------------------------- #
 
+    def _heatmaps_cm(self, heatmaps: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, K] → channel-major [B, K, H, W] in the compute dtype —
+        the ONE layout change shared by the Pallas decode kernel and the
+        PRN crop einsums (XLA CSEs it across both consumers). The
+        heatmaps were computed in the compute dtype before posenet's f32
+        upcast, so the downcast is lossless and the transpose copy
+        halves."""
+        dtype = jnp.dtype(self.config.model.compute_dtype)
+        return jnp.transpose(heatmaps.astype(dtype), (0, 3, 1, 2))
+
     def _prn_assign(
-        self, prn_variables: Any, heatmaps: jnp.ndarray,
+        self, prn_variables: Any, heatmaps_cm: jnp.ndarray,
         hm_boxes: jnp.ndarray, peaks,
     ) -> jnp.ndarray:
-        """Heatmaps + person boxes (+ decoded peaks) → per-person keypoints
-        [B, D, K, 3] in heatmap coordinates.
+        """Channel-major heatmaps + person boxes (+ decoded peaks) →
+        per-person keypoints [B, D, K, 3] in heatmap coordinates.
 
         PRN argmax cells are snapped to the decode kernel's sub-pixel peaks
         (ops/prn_ops.snap_to_peaks) — the PRN decides WHICH peak belongs to
         this person, the peak provides the quarter-pixel position."""
         cfg = self.config
-        crop_dtype = jnp.dtype(cfg.model.compute_dtype)
-        crops = prn_ops.batched_crop_heatmaps(
-            heatmaps, hm_boxes,
-            cfg.prn.crop_height, cfg.prn.crop_width, crop_dtype,
+        crops = prn_ops.batched_crop_heatmaps_cm(
+            heatmaps_cm, hm_boxes,
+            cfg.prn.crop_height, cfg.prn.crop_width,
         )  # [B, D, cw, ch, K]
         b, d = crops.shape[:2]
         crops_km = prn_ops.to_channel_major(
@@ -244,9 +266,10 @@ class Predictor:
         # Person boxes in heatmap coordinates for the PRN crop.
         stride = float(cfg.model.output_stride)
         hm_boxes = detections.boxes / stride  # [1, D, 4]
-        peaks = self._decode(out["heatmaps"])
+        hm_cm = self._heatmaps_cm(out["heatmaps"])
+        peaks = self._decode_cm(out["heatmaps"], hm_cm)
         keypoints = self._prn_assign(
-            prn_variables, out["heatmaps"], hm_boxes, peaks
+            prn_variables, hm_cm, hm_boxes, peaks
         )
         # Heatmap coords → model-input coords.
         keypoints = keypoints.at[..., :2].multiply(stride)
@@ -341,9 +364,10 @@ class Predictor:
             out = self._forward_heatmaps(variables, x[None])
             stride = float(cfg.model.output_stride)
             hm_boxes = (boxes * scale / stride)[None]  # [1, P, 4]
-            peaks = self._decode(out["heatmaps"])
+            hm_cm = self._heatmaps_cm(out["heatmaps"])
+            peaks = self._decode_cm(out["heatmaps"], hm_cm)
             keypoints = self._prn_assign(
-                prn_variables, out["heatmaps"], hm_boxes, peaks
+                prn_variables, hm_cm, hm_boxes, peaks
             )
             keypoints = keypoints.at[..., :2].multiply(stride)
             return {"keypoints": keypoints, "scale": scale}
@@ -411,14 +435,15 @@ class Predictor:
             )
         out = self._forward_heatmaps(variables, x)
 
-        peaks = self._decode(out["heatmaps"])
+        hm_cm = self._heatmaps_cm(out["heatmaps"])
+        peaks = self._decode_cm(out["heatmaps"], hm_cm)
         detections = postprocess_detections(
             out["detector"], self.image_size, cfg.detector
         )
         stride = float(cfg.model.output_stride)
         hm_boxes = detections.boxes / stride
         keypoints = self._prn_assign(
-            prn_variables, out["heatmaps"], hm_boxes, peaks
+            prn_variables, hm_cm, hm_boxes, peaks
         )
         keypoints = keypoints.at[..., :2].multiply(stride)
         return {

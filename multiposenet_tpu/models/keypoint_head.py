@@ -77,7 +77,13 @@ class KeypointHead(nn.Module):
         if self.p2_late:
             # Stride-4 entry point: top-down P2 + upsampled fused stride-8
             # context; the output conv below is the only stride-4 conv.
-            x = pyramid["P2"] + nearest_upsample_2x(x)
+            p2 = pyramid["P2"]
+            if p2.shape[-1] != self.channels:
+                # Head wider than the FPN: 1x1-project P2 up to the head
+                # width (cheap; only exists when the widths differ).
+                p2 = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                             name="p2_lateral")(p2)
+            x = p2 + nearest_upsample_2x(x)
 
         k = self.num_keypoints
         hm_kernel = self.param(

@@ -34,10 +34,13 @@ def _make_divisible(v: float, divisor: int = 8) -> int:
 class _DepthwiseConv3x3(nn.Module):
     """Depthwise 3x3 with the same param tree as nn.Conv(groups=C).
 
-    Routes stride-1 inference on TPU through the Pallas kernel
-    (ops/depthwise_pallas.py — XLA's depthwise lowering runs ~10x below
-    HBM bandwidth); training and other backends use lax.conv so autodiff
-    and CPU tests see identical math (the kernel is bit-parity tested).
+    Stays on XLA's lax.conv: a standalone Pallas depthwise kernel won
+    1.5-1.8x in isolation but REGRESSED in-model (91 -> 142 ms/iter at
+    bs=128) because XLA inserts layout conversions at every custom-call
+    boundary, and a whole-block VMEM-resident fused chain also lost to
+    XLA on the deep blocks (9.7 vs 6.4 ms isolated on the five 512-ch
+    blocks). Both kernels were parity-tested, measured, and pruned in
+    round 3 — full numbers in NOTES_r3.md "measured dead ends".
     """
 
     strides: tuple[int, int] = (1, 1)
@@ -47,8 +50,7 @@ class _DepthwiseConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from multiposenet_tpu.ops import depthwise_pallas
-
+        del train
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, 1, c),
@@ -60,19 +62,6 @@ class _DepthwiseConv3x3(nn.Module):
                 "bias", nn.initializers.zeros, (c,), jnp.float32
             )
         x = x.astype(self.dtype)
-        # The Pallas kernel wins on large spatial maps (bandwidth-bound);
-        # at the deep low-resolution levels (<=32^2) its per-row loop
-        # overhead loses to XLA, so gate on spatial size.
-        if (
-            self.strides == (1, 1)
-            and x.shape[1] >= 64
-            and depthwise_pallas.use_pallas_depthwise(
-                train, folded=self.use_bias
-            )
-        ):
-            return depthwise_pallas.depthwise_conv3x3(
-                x, kernel, bias=bias, relu6=self.relu6
-            )
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
         )
@@ -147,6 +136,91 @@ def stem_kernel_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
             out = out.at[gy, gx, (py * 2 + px) * c:(py * 2 + px + 1) * c
                          ].set(kernel[dy, dx])
     return out
+
+
+def stem_kernel_to_s4(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Remap a [4, 4, C, O] stride-4 stem kernel to the [16C, O] matmul
+    weight over DOUBLE space-to-depth input (s2d2x applied twice).
+
+    Composed channel order: pixel (4i+dy, 4j+dx) lives at composed channel
+    ((dy//2)*2 + dx//2)*4C' + ((dy%2)*2 + dx%2)*C + c where the outer s2d
+    runs over the half-res cell grid (see space_to_depth_2x ordering).
+    Non-overlapping taps → the conv IS a dense matmul (full MXU, no
+    halos)."""
+    c, o = kernel.shape[2], kernel.shape[3]
+    rows = []
+    order = []
+    for py1 in (0, 1):
+        for px1 in (0, 1):
+            for py0 in (0, 1):
+                for px0 in (0, 1):
+                    order.append((2 * py1 + py0, 2 * px1 + px0))
+    for dy, dx in order:
+        rows.append(kernel[dy, dx])  # [C, O]
+    return jnp.concatenate(rows, axis=0)  # [16C, O]
+
+
+class _S4StemConv(nn.Module):
+    """Stride-4 stem: a 4x4/s4 conv computed as ONE dense matmul over the
+    double-s2d input — the round-3 `stem_stride=4` operating point
+    (ModelConfig.stem_stride). At 512² this removes the whole 256² stage
+    (stem output + block_0's depthwise/pointwise at 256² ≈ 24 MB/image of
+    HBM traffic); C2 keeps its stride-4 resolution because block_1 drops
+    its stride (see MobileNetV1). Param tree: kernel [4, 4, C, O] (+bias
+    when folded), remapped at apply time — exact arithmetic, the 4x4/s4
+    taps never overlap so SAME padding is a no-op on %4 == 0 inputs.
+
+    fold_norm composes the (x/255 - mean)/std affine into the matmul
+    exactly as _S2DStemConv does.
+    """
+
+    features: int
+    use_bias: bool = False
+    fold_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[-1] <= 4:
+            c = x.shape[-1]
+            x = space_to_depth_2x(x.astype(self.dtype))
+        else:
+            c = x.shape[-1] // 4  # host-staged s2d2x cells
+            x = x.astype(self.dtype)
+        x = space_to_depth_2x(x)  # [B, H/4, W/4, 16C]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (4, 4, c,
+                                                       self.features),
+            jnp.float32,
+        )
+        k = stem_kernel_to_s4(kernel)  # [16C, O]
+        norm_bias = None
+        if self.fold_norm:
+            from multiposenet_tpu.utils.constants import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            a = jnp.tile(
+                1.0 / (255.0 * jnp.asarray(IMAGENET_STD)), 16 * c // 3
+            )
+            b = jnp.tile(
+                -jnp.asarray(IMAGENET_MEAN) / jnp.asarray(IMAGENET_STD),
+                16 * c // 3,
+            )
+            norm_bias = jnp.einsum("co,c->o", k, b)
+            k = k * a[:, None]
+        k = k.astype(self.dtype)
+        y = jnp.einsum("bhwc,co->bhwo", x, k)
+        if norm_bias is not None:
+            y = y + norm_bias.astype(y.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class _S2DStemConv(nn.Module):
@@ -234,6 +308,7 @@ class ConvBNRelu6(nn.Module):
     bn_epsilon: float = 1e-3
     bn_folded: bool = False  # inference flavor: conv(kernel, bias)+relu6
     s2d: bool = False  # stem flavor: exact space-to-depth remap
+    s4: bool = False   # stem flavor: 4x4/s4 matmul stem (stem_stride=4)
     fold_norm: bool = False  # stem flavor: input normalize folded in
     dtype: Any = jnp.float32
 
@@ -250,13 +325,26 @@ class ConvBNRelu6(nn.Module):
             and self.groups == 1 and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         )
-        if self.fold_norm and not use_s2d:
+        use_s4 = (
+            self.s4 and self.kernel == (4, 4) and self.strides == (4, 4)
+            and self.groups == 1 and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and (x.shape[-1] > 4 or (x.shape[1] % 4 == 0
+                                     and x.shape[2] % 4 == 0))
+        )
+        if self.fold_norm and not (use_s2d or use_s4):
             # fold_input_norm models take RAW pixels; on the (odd-size)
             # plain-conv fallback, apply the normalize affine explicitly.
             from multiposenet_tpu.ops.image import normalize
 
             x = normalize(x).astype(self.dtype)
-        if use_s2d:
+        if use_s4:
+            x = _S4StemConv(
+                self.features, use_bias=self.bn_folded,
+                fold_norm=self.fold_norm, dtype=self.dtype,
+                name="conv",
+            )(x)
+        elif use_s2d:
             x = _S2DStemConv(
                 self.features, use_bias=self.bn_folded,
                 fold_norm=self.fold_norm, dtype=self.dtype,
@@ -363,6 +451,7 @@ class MobileNetV1(nn.Module):
     width: float = 1.0
     min_channels: int = 8
     max_channels: int = 0  # 0 = uncapped (ModelConfig.backbone_max_channels)
+    stem_stride: int = 2   # 4 = matmul stem, 256² stage removed (fast())
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
     bn_folded: bool = False
@@ -378,15 +467,18 @@ class MobileNetV1(nn.Module):
             out = max(self.min_channels, _make_divisible(c * self.width))
             return min(out, self.max_channels) if self.max_channels else out
 
+        assert self.stem_stride in (2, 4), self.stem_stride
+        s4_stem = self.stem_stride == 4
         x = x.astype(self.dtype)
         x = ConvBNRelu6(
             ch(32),
-            kernel=(3, 3),
-            strides=(2, 2),
+            kernel=(4, 4) if s4_stem else (3, 3),
+            strides=(4, 4) if s4_stem else (2, 2),
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
             bn_folded=self.bn_folded,
-            s2d=self.s2d_stem,
+            s2d=self.s2d_stem and not s4_stem,
+            s4=s4_stem,
             fold_norm=self.fold_input_norm,
             dtype=self.dtype,
             name="stem",
@@ -394,6 +486,9 @@ class MobileNetV1(nn.Module):
 
         features: dict[str, jnp.ndarray] = {}
         for i, (c, s) in enumerate(_MOBILENET_V1_BLOCKS):
+            if s4_stem and i == 1:
+                # The stem already took the /4 step; C2 keeps stride 4.
+                s = 1
             x = DepthwiseSeparable(
                 ch(c),
                 strides=(s, s),

@@ -115,6 +115,45 @@ def batched_crop_heatmaps(
         lambda hm, bx: crop_heatmaps(hm, bx, crop_height, crop_width, dtype)
     )(heatmaps, boxes)
 
+
+def crop_heatmaps_cm(
+    heatmap: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_height: int,
+    crop_width: int,
+) -> jnp.ndarray:
+    """crop_heatmaps consuming a CHANNEL-MAJOR heatmap[K, H, W] (already
+    in the compute dtype) — same [P, crop_w, crop_h, K] output.
+
+    The inference pipeline transposes the heatmaps to channel-major ONCE
+    for the Pallas decode kernel (decode_heatmaps_pallas_t); reading the
+    same tensor here lets XLA CSE that transpose instead of materializing
+    a second layout for the crop einsums.
+    """
+    _, h, w = heatmap.shape
+    y0, x0, y1, x1 = (boxes[:, i] for i in range(4))
+    ry = interp_matrix(
+        y0, jnp.maximum(y1 - y0, 1e-3), crop_height, h
+    ).astype(heatmap.dtype)
+    rx = interp_matrix(
+        x0, jnp.maximum(x1 - x0, 1e-3), crop_width, w
+    ).astype(heatmap.dtype)
+    rows = jnp.einsum("piy,kyx->pikx", ry, heatmap)
+    return jnp.einsum("pjx,pikx->pjik", rx, rows)
+
+
+def batched_crop_heatmaps_cm(
+    heatmaps_cm: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_height: int,
+    crop_width: int,
+) -> jnp.ndarray:
+    """vmap over images: heatmaps[B, K, H, W] channel-major →
+    [B, P, crop_w, crop_h, K]."""
+    return jax.vmap(
+        lambda hm, bx: crop_heatmaps_cm(hm, bx, crop_height, crop_width)
+    )(heatmaps_cm, boxes)
+
 def to_channel_major(
     crops: jnp.ndarray, num_keypoints: int
 ) -> jnp.ndarray:

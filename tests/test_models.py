@@ -202,3 +202,57 @@ def test_p2_late_and_max_channels_variants():
     bb = variables["params"]["backbone"]
     pw = bb["block_11"]["pointwise"]["conv"]["kernel"]
     assert pw.shape[-1] == 128
+
+
+def test_s4_stem_exact_remap():
+    """stem_stride=4: the double-s2d matmul stem is EXACTLY the 4x4/s4
+    convolution (non-overlapping taps), from both raw images and
+    host-staged s2d2x cells."""
+    import jax
+
+    from multiposenet_tpu.models.mobilenet import (
+        space_to_depth_2x, stem_kernel_to_s4,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    k = jnp.asarray(rng.rand(4, 4, 3, 8).astype(np.float32))
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    want = jax.lax.conv_general_dilated(x, k, (4, 4), "VALID",
+                                        dimension_numbers=dn)
+    cells = space_to_depth_2x(space_to_depth_2x(x))
+    got = jnp.einsum("bhwc,co->bhwo", cells, stem_kernel_to_s4(k))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s4_stem_model_shapes_and_fold_norm():
+    """stem_stride=4 keeps the C2..C5 stride contract, and folding the
+    input normalization into the s4 stem matches normalize-then-forward."""
+    import jax
+
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.models.posenet import MultiPoseNet
+    from multiposenet_tpu.ops.image import normalize
+
+    base = dict(backbone_width=0.25, fpn_channels=32, head_channels=32,
+                kp_head_convs=1, stem_stride=4)
+    cfg = Config(model=ModelConfig(**base))
+    model = MultiPoseNet(config=cfg, with_detector=False)
+    img = np.random.RandomState(1).randint(0, 255, (1, 64, 64, 3))
+    x = np.asarray(normalize(jnp.asarray(img)))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    out = model.apply(variables, jnp.asarray(x), train=False)
+    assert out["heatmaps"].shape == (1, 16, 16, 17)
+
+    cfg_f = Config(model=ModelConfig(**base, fold_input_norm=True))
+    model_f = MultiPoseNet(config=cfg_f, with_detector=False)
+    out_f = model_f.apply(variables, jnp.asarray(img, np.float32),
+                          train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_f["heatmaps"]), np.asarray(out["heatmaps"]),
+        rtol=2e-3, atol=2e-3,
+    )
