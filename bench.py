@@ -105,9 +105,16 @@ def bench_e2e(batch_size: int = 64, image_size: int = 512,
     import jax
     import jax.numpy as jnp
 
-    from multiposenet_tpu.ops.image import space_to_depth_flat
+    from multiposenet_tpu.ops.image import (
+        space_to_depth_flat, space_to_depth_flat4,
+    )
 
     predictor = make_predictor(image_size)
+    # Stage in the flat layout matching the stem: 4x4 cells for
+    # stem_stride=4 models (zero device-side retiling), 2x2 otherwise.
+    stage = (space_to_depth_flat4
+             if predictor.config.model.stem_stride == 4
+             else space_to_depth_flat)
     rng = np.random.RandomState(0)
     # Pre-stage distinct device batches (uint8) to avoid timing the axon
     # tunnel host->device path; rotate through them. Staged in the
@@ -122,7 +129,7 @@ def bench_e2e(batch_size: int = 64, image_size: int = 512,
                              dtype=np.uint8))
     )
     batches = [
-        jax.device_put(jnp.asarray(space_to_depth_flat(make())))
+        jax.device_put(jnp.asarray(stage(make())))
         for _ in range(n_bufs)
     ]
     fn = jax.jit(predictor._batch_forward_impl)
@@ -165,7 +172,9 @@ def bench_host_e2e(batch_size: int = 128, image_size: int = 512,
     import jax
     import jax.numpy as jnp
 
-    from multiposenet_tpu.ops.image import space_to_depth_flat
+    from multiposenet_tpu.ops.image import (
+        space_to_depth_flat, space_to_depth_flat4,
+    )
 
     predictor = make_predictor(image_size)
     rng = np.random.RandomState(0)
@@ -177,6 +186,10 @@ def bench_host_e2e(batch_size: int = 128, image_size: int = 512,
         assert ok
         jpegs.append(buf.tobytes())
 
+    stage = (space_to_depth_flat4
+             if predictor.config.model.stem_stride == 4
+             else space_to_depth_flat)
+
     def stage_one(j):
         bgr = cv2.imdecode(
             np.frombuffer(jpegs[j % n_unique], np.uint8), cv2.IMREAD_COLOR
@@ -184,7 +197,7 @@ def bench_host_e2e(batch_size: int = 128, image_size: int = 512,
         rgb = np.ascontiguousarray(bgr[:, :, ::-1])
         # Images are pre-sized here; arbitrary sizes would letterbox (the
         # same cv2.resize call augment.resize_to uses).
-        return space_to_depth_flat(rgb[None])[0]
+        return stage(rgb[None])[0]
 
     pool = cf.ThreadPoolExecutor(workers)
 

@@ -37,11 +37,15 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import bench
-    from multiposenet_tpu.ops.image import space_to_depth_flat
+    from multiposenet_tpu.ops.image import (
+        space_to_depth_flat, space_to_depth_flat4,
+    )
 
     pred = bench.make_predictor(512)
+    stage = (space_to_depth_flat4
+             if pred.config.model.stem_stride == 4 else space_to_depth_flat)
     rng = np.random.RandomState(0)
-    batch = jax.device_put(jnp.asarray(space_to_depth_flat(
+    batch = jax.device_put(jnp.asarray(stage(
         rng.randint(0, 255, (args.batch_size, 512, 512, 3), dtype=np.uint8)
     )))
     fn = jax.jit(pred._batch_forward_impl)

@@ -203,15 +203,18 @@ class Predictor:
     # forward + detection + PRN assignment, one XLA program.
     # ---------------------------------------------------------------- #
 
-    def _heatmaps_cm(self, heatmaps: jnp.ndarray) -> jnp.ndarray:
-        """[B, H, W, K] → channel-major [B, K, H, W] in the compute dtype —
-        the ONE layout change shared by the Pallas decode kernel and the
-        PRN crop einsums (XLA CSEs it across both consumers). The
-        heatmaps were computed in the compute dtype before posenet's f32
-        upcast, so the downcast is lossless and the transpose copy
-        halves."""
+    def _heatmaps_cm(self, out: dict) -> jnp.ndarray:
+        """Channel-major heatmaps [B, K, H, W] in the compute dtype — the
+        ONE layout shared by the Pallas decode kernel and the PRN crop
+        einsums. The keypoint head emits this natively from its output
+        conv (models/keypoint_head.py "heatmaps_cm"); programs that read
+        it never materialize a transpose. Fallback (flip TTA averages the
+        NHWC maps first): transpose — computed in the compute dtype, so
+        the copy is half the f32 size and lossless."""
+        if "heatmaps_cm" in out:
+            return out["heatmaps_cm"]
         dtype = jnp.dtype(self.config.model.compute_dtype)
-        return jnp.transpose(heatmaps.astype(dtype), (0, 3, 1, 2))
+        return jnp.transpose(out["heatmaps"].astype(dtype), (0, 3, 1, 2))
 
     def _prn_assign(
         self, prn_variables: Any, heatmaps_cm: jnp.ndarray,
@@ -266,7 +269,7 @@ class Predictor:
         # Person boxes in heatmap coordinates for the PRN crop.
         stride = float(cfg.model.output_stride)
         hm_boxes = detections.boxes / stride  # [1, D, 4]
-        hm_cm = self._heatmaps_cm(out["heatmaps"])
+        hm_cm = self._heatmaps_cm(out)
         peaks = self._decode_cm(out["heatmaps"], hm_cm)
         keypoints = self._prn_assign(
             prn_variables, hm_cm, hm_boxes, peaks
@@ -364,7 +367,7 @@ class Predictor:
             out = self._forward_heatmaps(variables, x[None])
             stride = float(cfg.model.output_stride)
             hm_boxes = (boxes * scale / stride)[None]  # [1, P, 4]
-            hm_cm = self._heatmaps_cm(out["heatmaps"])
+            hm_cm = self._heatmaps_cm(out)
             peaks = self._decode_cm(out["heatmaps"], hm_cm)
             keypoints = self._prn_assign(
                 prn_variables, hm_cm, hm_boxes, peaks
@@ -388,6 +391,10 @@ class Predictor:
         community's standard OKS-AP booster)."""
         out = self.model.apply(variables, x, train=False)
         if self.flip_tta:
+            # The averaged heatmaps below supersede the head's native
+            # channel-major output — drop it so no consumer reads stale
+            # (un-averaged) maps.
+            out.pop("heatmaps_cm", None)
             from multiposenet_tpu.utils.constants import FLIP_PERMUTATION
 
             xf = x[:, :, ::-1]
@@ -397,6 +404,17 @@ class Predictor:
                 perm = jnp.asarray([
                     (py * 2 + (1 - px)) * 3 + c
                     for py in (0, 1) for px in (0, 1) for c in range(3)
+                ])
+                xf = xf[..., perm]
+            elif x.shape[-1] == 48:
+                # composed s4 cells ((py1,px1) major, (py0,px0), rgb):
+                # reversing the 4-px cell axis + mirroring both px phases.
+                perm = jnp.asarray([
+                    ((py1 * 2 + (1 - px1)) * 4 + py0 * 2 + (1 - px0)) * 3
+                    + c
+                    for py1 in (0, 1) for px1 in (0, 1)
+                    for py0 in (0, 1) for px0 in (0, 1)
+                    for c in range(3)
                 ])
                 xf = xf[..., perm]
             out_f = self.model.apply(variables, xf, train=False)
@@ -412,10 +430,13 @@ class Predictor:
         uint8 batch, one XLA program.
 
         images may be:
-          * [B, S/2, S*6] — host-staged space-to-depth flat layout
-            (ops/image.space_to_depth_flat), the fast path: the device
-            normalizes at full lane density and the stem consumes the s2d
-            cells directly;
+          * [B, S/4, S*12] — host-staged 4x4 space-to-depth flat layout
+            (ops/image.space_to_depth_flat4), the fast path for
+            stem_stride=4 models: the stem matmul consumes the cells with
+            zero device-side retiling;
+          * [B, S/2, S*6] — host-staged 2x2 space-to-depth flat layout
+            (ops/image.space_to_depth_flat): the device normalizes at
+            full lane density and the stem consumes the s2d cells;
           * [B, S, S, 3] — host already letterboxed to the model size,
             only normalize runs on device;
           * [B, Hs, Ws, 3] — fixed staging shape, bilinear resize to the
@@ -423,7 +444,11 @@ class Predictor:
         cfg = self.config
         dtype = jnp.dtype(cfg.model.compute_dtype)
         raw = cfg.model.fold_input_norm  # stem consumes raw 0-255 pixels
-        if images.ndim == 3:
+        if images.ndim == 3 and images.shape[2] == images.shape[1] * 48:
+            # s4-flat staging (ops/image.space_to_depth_flat4).
+            x = (image_ops.s4_flat_to_cells(images, dtype) if raw
+                 else image_ops.normalize_s4_flat(images, dtype))
+        elif images.ndim == 3:
             x = (image_ops.s2d_flat_to_cells(images, dtype) if raw
                  else image_ops.normalize_s2d_flat(images, dtype))
         elif images.shape[1:3] == (self.image_size, self.image_size):
@@ -435,7 +460,7 @@ class Predictor:
             )
         out = self._forward_heatmaps(variables, x)
 
-        hm_cm = self._heatmaps_cm(out["heatmaps"])
+        hm_cm = self._heatmaps_cm(out)
         peaks = self._decode_cm(out["heatmaps"], hm_cm)
         detections = postprocess_detections(
             out["detector"], self.image_size, cfg.detector

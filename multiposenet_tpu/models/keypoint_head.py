@@ -46,6 +46,10 @@ class KeypointHead(nn.Module):
     # top-down map. Quality cost measured on the synthetic 512² benchmark
     # (README perf/quality table).
     p2_late: bool = False
+    # fuse_conv: the 3x3 conv gluing the summed towers before the output
+    # conv. With p2_late it runs at stride 8; dropping it leaves the
+    # towers' own convs + the output conv as the only mixing.
+    fuse_conv: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,11 +73,14 @@ class KeypointHead(nn.Module):
                 x = nn.relu(x)
             summed = x if summed is None else x + nearest_upsample_2x(summed)
 
-        x = nn.Conv(
-            self.channels, (3, 3), padding="SAME", dtype=self.dtype,
-            name="fuse",
-        )(summed)
-        x = nn.relu(x)
+        if self.fuse_conv:
+            x = nn.Conv(
+                self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+                name="fuse",
+            )(summed)
+            x = nn.relu(x)
+        else:
+            x = summed
         if self.p2_late:
             # Stride-4 entry point: top-down P2 + upsampled fused stride-8
             # context; the output conv below is the only stride-4 conv.
@@ -116,6 +123,21 @@ class KeypointHead(nn.Module):
         ) + bias.astype(self.dtype)
 
         out = {"heatmaps": y[..., :k]}
+        # ALSO emit the channel-major layout natively from the conv
+        # (NCHW out spec): the inference pipeline's decode kernel + PRN
+        # crops consume [B, K, H, W], and producing it here beats
+        # transposing the NHWC tensor afterwards. Whichever layout a
+        # given jitted program doesn't read is dead code — XLA DCEs it —
+        # so training (NHWC losses) and inference (cm) each compute the
+        # output conv exactly once.
+        dn_cm = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NCHW")
+        )
+        y_cm = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=dn_cm,
+        ) + bias.astype(self.dtype)[:, None, None]
+        out["heatmaps_cm"] = y_cm[:, :k]
         if self.with_segmentation:
             out["segmentation"] = y[..., k:]
         return out

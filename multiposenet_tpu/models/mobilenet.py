@@ -181,13 +181,15 @@ class _S4StemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if x.shape[-1] <= 4:
+        if x.shape[-1] <= 4:      # raw image
             c = x.shape[-1]
+            x = space_to_depth_2x(space_to_depth_2x(x.astype(self.dtype)))
+        elif x.shape[-1] <= 16:   # host-staged s2d2x cells
+            c = x.shape[-1] // 4
             x = space_to_depth_2x(x.astype(self.dtype))
-        else:
-            c = x.shape[-1] // 4  # host-staged s2d2x cells
+        else:                     # host-staged s4 cells (4x4, composed)
+            c = x.shape[-1] // 16
             x = x.astype(self.dtype)
-        x = space_to_depth_2x(x)  # [B, H/4, W/4, 16C]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (4, 4, c,
                                                        self.features),
@@ -327,10 +329,14 @@ class ConvBNRelu6(nn.Module):
         )
         use_s4 = (
             self.s4 and self.kernel == (4, 4) and self.strides == (4, 4)
-            and self.groups == 1 and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-            and (x.shape[-1] > 4 or (x.shape[1] % 4 == 0
-                                     and x.shape[2] % 4 == 0))
+            and self.groups == 1
+            and (
+                x.shape[-1] > 16  # host-staged s4 cells, no re-tiling
+                or (x.shape[-1] > 4 and x.shape[1] % 2 == 0
+                    and x.shape[2] % 2 == 0)  # s2d2x cells
+                or (x.shape[-1] <= 4 and x.shape[1] % 4 == 0
+                    and x.shape[2] % 4 == 0)  # raw image
+            )
         )
         if self.fold_norm and not (use_s2d or use_s4):
             # fold_input_norm models take RAW pixels; on the (odd-size)

@@ -60,6 +60,7 @@ class MultiPoseNet(nn.Module):
             num_convs=cfg.model.kp_head_convs,
             with_segmentation=cfg.model.with_segmentation,
             p2_late=cfg.model.kp_p2_late,
+            fuse_conv=cfg.model.kp_fuse_conv,
             dtype=dtype,
             name="keypoint_head",
         )

@@ -59,7 +59,7 @@ def smoothing_matrix(n: int, sigma: float, kernel_size: int) -> np.ndarray:
     return s
 
 
-MAPS_PER_PROGRAM = 16  # amortizes per-program overhead and S_h/S_w loads; 8/32 measured slower
+MAPS_PER_PROGRAM = 16  # in-model optimum (r3): 16 -> 4716 img/s e2e vs 32 -> 4661 (standalone says 32: 5.2 vs 5.9 ms — VMEM pressure flips it in-model)
 
 
 def _decode_kernel(

@@ -116,6 +116,48 @@ def space_to_depth_flat(images: np.ndarray) -> np.ndarray:
     return x.reshape(b, h // 2, (w // 2) * 4 * c)
 
 
+def space_to_depth_flat4(images: np.ndarray) -> np.ndarray:
+    """HOST-side staging for stem_stride=4 models: uint8 [B, H, W, 3] →
+    [B, H/4, (W/4)*48] uint8 — 4x4 cells in the composed double-s2d
+    channel order ((dy//2)*2+dx//2 major, (dy%2)*2+dx%2 middle, rgb
+    minor; see models/mobilenet.stem_kernel_to_s4). The device consumes
+    the cells with a free reshape instead of the two-level retile copy
+    (~1.9 ms/iter at bs=128 measured on the device path)."""
+    b, h, w, c = images.shape
+    x = images.reshape(b, h // 4, 2, 2, w // 4, 2, 2, c)
+    # target channel order: (py1, px1, py0, px0, c) where full-res offset
+    # dy = 2*py1 + py0, dx = 2*px1 + px0.
+    x = np.ascontiguousarray(x.transpose(0, 1, 4, 2, 5, 3, 6, 7))
+    return x.reshape(b, h // 4, (w // 4) * 16 * c)
+
+
+def s4_flat_to_cells(
+    flat: jnp.ndarray, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """Device-side: s4-flat uint8 [B, Hq, Wq*48] → RAW-pixel
+    [B, Hq, Wq, 48] cells in `dtype` (fold_input_norm models normalize
+    inside the stem matmul)."""
+    b, hq, wf = flat.shape
+    return flat.reshape(b, hq, wf // 48, 48).astype(dtype)
+
+
+def normalize_s4_flat(
+    flat: jnp.ndarray, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """Device-side: s4-flat uint8 [B, Hq, Wq*48] → normalized
+    [B, Hq, Wq, 48] (mean/std repeat with period 3 in the flat minor
+    dim, full lane density)."""
+    b, hq, wf = flat.shape
+    mean = jnp.asarray(
+        np.tile(np.asarray(IMAGENET_MEAN, np.float32), wf // 3)
+    )
+    std = jnp.asarray(
+        np.tile(np.asarray(IMAGENET_STD, np.float32), wf // 3)
+    )
+    x = (flat.astype(jnp.float32) / 255.0 - mean) / std
+    return x.astype(dtype).reshape(b, hq, wf // 48, 48)
+
+
 def normalize_s2d_flat(
     flat: jnp.ndarray, dtype: jnp.dtype = jnp.float32
 ) -> jnp.ndarray:

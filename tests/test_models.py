@@ -256,3 +256,23 @@ def test_s4_stem_model_shapes_and_fold_norm():
         np.asarray(out_f["heatmaps"]), np.asarray(out["heatmaps"]),
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_native_cm_heatmaps_match_transpose():
+    """The head's native channel-major output conv equals the NHWC output
+    transposed (same kernel, different conv layout)."""
+    import jax
+
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.models.posenet import MultiPoseNet
+
+    cfg = Config(model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                                   head_channels=32))
+    model = MultiPoseNet(config=cfg, with_detector=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    want = np.transpose(np.asarray(out["heatmaps"]), (0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(out["heatmaps_cm"]), want,
+                               rtol=1e-5, atol=1e-5)

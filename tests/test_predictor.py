@@ -206,3 +206,58 @@ def test_cross_path_preprocessing_parity():
     hm_dev, hm_host = fwd(dev), fwd(host_n)
     span = hm_dev.max() - hm_dev.min() + 1e-9
     assert np.abs(hm_dev - hm_host).max() / span < 0.08
+
+
+def test_s4_flat_staging_matches_square_path():
+    """Host 4x4 s2d staging (space_to_depth_flat4) through the batched
+    pipeline must equal the plain [B, S, S, 3] letterboxed path for a
+    stem_stride=4 model."""
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.ops.image import space_to_depth_flat4
+
+    cfg = Config(model=ModelConfig(
+        backbone_width=0.25, fpn_channels=32, head_channels=32,
+        kp_head_convs=1, kp_smooth_pyramid=False, kp_p2_late=True,
+        stem_stride=4,
+    ))
+    pred = Predictor(config=cfg, image_size=64)
+    imgs = np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3),
+                                            dtype=np.uint8)
+    out_sq = pred._batch_forward_impl(
+        pred.variables, pred.prn_variables, jnp.asarray(imgs))
+    out_s4 = pred._batch_forward_impl(
+        pred.variables, pred.prn_variables,
+        jnp.asarray(space_to_depth_flat4(imgs)))
+    np.testing.assert_allclose(
+        np.asarray(out_s4["keypoints"]), np.asarray(out_sq["keypoints"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s4["peak_positions"]),
+        np.asarray(out_sq["peak_positions"]), rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_flip_tta_s4_staging_parity():
+    """Flip TTA's 48-channel phase permutation (composed s4 cells) must
+    reproduce the square-path TTA exactly."""
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.ops.image import space_to_depth_flat4
+
+    cfg = Config(model=ModelConfig(
+        backbone_width=0.25, fpn_channels=32, head_channels=32,
+        kp_head_convs=1, kp_smooth_pyramid=False, kp_p2_late=True,
+        stem_stride=4,
+    ))
+    pred = Predictor(config=cfg, image_size=64, flip_tta=True)
+    imgs = np.random.RandomState(5).randint(0, 255, (2, 64, 64, 3),
+                                            dtype=np.uint8)
+    out_sq = pred._batch_forward_impl(
+        pred.variables, pred.prn_variables, jnp.asarray(imgs))
+    out_s4 = pred._batch_forward_impl(
+        pred.variables, pred.prn_variables,
+        jnp.asarray(space_to_depth_flat4(imgs)))
+    np.testing.assert_allclose(
+        np.asarray(out_s4["peak_positions"]),
+        np.asarray(out_sq["peak_positions"]), rtol=1e-4, atol=1e-4,
+    )
