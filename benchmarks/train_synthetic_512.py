@@ -93,17 +93,31 @@ def main() -> None:
     )
 
     state = jax.device_get(state)
+    variables = {"params": state.ema_params,
+                 "batch_stats": state.batch_stats}
+    prn_variables = jax.device_get(prn_state.params)
     predictor = Predictor(
         config=cfg,
-        variables={"params": state.ema_params,
-                   "batch_stats": state.batch_stats},
-        prn_variables=jax.device_get(prn_state.params),
+        variables=variables,
+        prn_variables=prn_variables,
         image_size=SIZE,
     )
 
-    # Detector-driven end-to-end AP (the predict() contract).
+    # Detector-driven end-to-end AP (the predict() contract) at the
+    # SHIPPED pre-NMS pool, plus a pool-256 control: the pool is an
+    # inference-graph-only knob, so one training run provides evidence
+    # for both (VERDICT r3: pool128 is the benchmarked operating point).
     stats = evaluate_predictor(predictor, eval_records)
-    print(json.dumps({"e2e_512": stats}), flush=True)
+    print(json.dumps({"e2e_512": stats,
+                      "pool": cfg.detector.pre_nms_top_k}), flush=True)
+    cfg256 = cfg.replace(detector=dataclasses.replace(
+        cfg.detector, pre_nms_top_k=256))
+    stats256 = evaluate_predictor(
+        Predictor(config=cfg256, variables=variables,
+                  prn_variables=prn_variables, image_size=SIZE),
+        eval_records,
+    )
+    print(json.dumps({"e2e_512_pool256": stats256}), flush=True)
 
     # GT-box PRN protocol (the reference's PRN evaluation).
     ev = KeypointEvaluator()

@@ -245,8 +245,11 @@ class Config:
                               kp_fuse_conv=False),
             # 1-conv detector towers: −0.8 ms/iter measured; detector AP
             # validated by the 512² quality run (README table).
+            # pre_nms_top_k=128: the pool only seeds NMS for 20 outputs;
+            # halving it from 256 saves ~1 ms/iter (r3 sweep) and is
+            # quality-checked at 512² (README table, pool column).
             detector=DetectorConfig(num_convs=1, head_channels=64,
-                                    pre_nms_top_k=256),
+                                    pre_nms_top_k=128),
             # Half-pitch crop grid: with sub-pixel peak snapping the PRN
             # grid only disambiguates WHICH peak belongs to the person, so
             # 28x18 keeps accuracy while quartering PRN cost.

@@ -130,14 +130,19 @@ class KeypointHead(nn.Module):
         # given jitted program doesn't read is dead code — XLA DCEs it —
         # so training (NHWC losses) and inference (cm) each compute the
         # output conv exactly once.
+        # The cm conv uses ONLY the heatmap kernel (not the concat with the
+        # segmentation head): inference never reads segmentation from the
+        # cm path, and slicing [:, :17] off an 18-channel NCHW output
+        # forces XLA to materialize relayout copies of the full tensor
+        # (2x ~0.5 ms/iter at bs=128, profiled r3).
         dn_cm = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape, ("NHWC", "HWIO", "NCHW")
+            x.shape, hm_kernel.shape, ("NHWC", "HWIO", "NCHW")
         )
         y_cm = jax.lax.conv_general_dilated(
-            x, kernel.astype(self.dtype), (1, 1), "SAME",
+            x, hm_kernel.astype(self.dtype), (1, 1), "SAME",
             dimension_numbers=dn_cm,
-        ) + bias.astype(self.dtype)[:, None, None]
-        out["heatmaps_cm"] = y_cm[:, :k]
+        ) + hm_bias.astype(self.dtype)[:, None, None]
+        out["heatmaps_cm"] = y_cm
         if self.with_segmentation:
             out["segmentation"] = y[..., k:]
         return out

@@ -59,7 +59,7 @@ def smoothing_matrix(n: int, sigma: float, kernel_size: int) -> np.ndarray:
     return s
 
 
-MAPS_PER_PROGRAM = 16  # in-model optimum (r3): 16 -> 4716 img/s e2e vs 32 -> 4661 (standalone says 32: 5.2 vs 5.9 ms — VMEM pressure flips it in-model)
+MAPS_PER_PROGRAM = 16  # in-model optimum, re-measured after every VMEM-pressure-changing model edit because the ordering keeps flipping: post-cm17-head 16 -> 5242 img/s vs 32 -> 5136; pre-cm17 32 -> 4961 vs 16 -> 4924; pre-native-cm 16 -> 4716 vs 32 -> 4661 (standalone kernel-only numbers prefer 32: 5.2 vs 5.9 ms)
 
 
 def _decode_kernel(
