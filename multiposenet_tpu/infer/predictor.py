@@ -73,8 +73,6 @@ class Predictor:
             # Freeze-graph-style export optimization: BN baked into conv
             # kernel+bias, model switched to its bn_folded flavor
             # (infer/folding.py).
-            import dataclasses
-
             from multiposenet_tpu.infer.folding import fold_batch_norm
 
             variables = fold_batch_norm(

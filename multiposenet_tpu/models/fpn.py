@@ -62,7 +62,13 @@ class FPN(nn.Module):
         p3 = laterals["C3"] + nearest_upsample_2x(p4)
         p2 = laterals["C2"] + nearest_upsample_2x(p3)
 
-        out = {"T2": p2, "T3": p3, "T4": p4, "T5": p5}
+        # L2 = the stride-4 lateral BEFORE the top-down add. The p2_late
+        # keypoint head uses it to merge the two stride-4 upsample-adds
+        # into one (T2 + up(h) == L2 + up(T3 + h) for nearest upsampling):
+        # one materialized full-res broadcast instead of two. Unused keys
+        # are dead code under jit — XLA DCEs whichever of L2/T2 a program
+        # doesn't read.
+        out = {"T2": p2, "T3": p3, "T4": p4, "T5": p5, "L2": laterals["C2"]}
         for name, p in (("P2", p2), ("P3", p3), ("P4", p4), ("P5", p5)):
             if name == "P2" and not self.smooth_p2:
                 continue

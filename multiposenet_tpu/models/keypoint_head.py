@@ -84,13 +84,26 @@ class KeypointHead(nn.Module):
         if self.p2_late:
             # Stride-4 entry point: top-down P2 + upsampled fused stride-8
             # context; the output conv below is the only stride-4 conv.
-            p2 = pyramid["P2"]
-            if p2.shape[-1] != self.channels:
-                # Head wider than the FPN: 1x1-project P2 up to the head
-                # width (cheap; only exists when the widths differ).
-                p2 = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
-                             name="p2_lateral")(p2)
-            x = p2 + nearest_upsample_2x(x)
+            # When the FPN exposes the raw stride-4 lateral L2 (raw-T-map
+            # mode) and widths line up, merge the two stride-4 upsamples:
+            # P2 + up(x) = (L2 + up(T3)) + up(x) = L2 + up(T3 + x) —
+            # nearest upsampling is replication, so up(a) + up(b) ==
+            # up(a + b); the merge trades two materialized 4x-size
+            # broadcasts (~0.5 ms each at bs=128/512²) for one stride-8
+            # add. (Summation order shifts by one association — within
+            # 1 ulp, covered by predictor parity tolerances.)
+            l2 = pyramid.get("L2")
+            if (l2 is not None and l2.shape[-1] == self.channels
+                    and pyramid["P3"].shape[-1] == self.channels):
+                x = l2 + nearest_upsample_2x(pyramid["P3"] + x)
+            else:
+                p2 = pyramid["P2"]
+                if p2.shape[-1] != self.channels:
+                    # Head wider than the FPN: 1x1-project P2 up to the
+                    # head width (only exists when the widths differ).
+                    p2 = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                                 name="p2_lateral")(p2)
+                x = p2 + nearest_upsample_2x(x)
 
         k = self.num_keypoints
         hm_kernel = self.param(

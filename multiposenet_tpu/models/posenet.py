@@ -68,13 +68,18 @@ class MultiPoseNet(nn.Module):
         feats = backbone(images, train=train)
         pyramid = fpn(feats, train=train)
         if cfg.model.kp_smooth_pyramid:
-            kp_pyramid = pyramid
+            # Strip L2: the head's merged stride-4 upsample-add identity
+            # (P2 == L2 + up(P3)) only holds for the RAW top-down maps.
+            kp_pyramid = {k: v for k, v in pyramid.items() if k != "L2"}
         else:
             # Towers on the raw top-down maps (their first conv subsumes
             # the smoothing conv; see ModelConfig.kp_smooth_pyramid).
+            # L2 rides along so the p2_late head can merge its two
+            # stride-4 upsample-adds into one (keypoint_head.py).
             kp_pyramid = {
                 f"P{i}": pyramid[f"T{i}"] for i in (2, 3, 4, 5)
             }
+            kp_pyramid["L2"] = pyramid["L2"]
         out: dict[str, Any] = keypoint_head(kp_pyramid, train=train)
 
         if self.with_detector:

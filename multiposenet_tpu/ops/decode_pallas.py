@@ -59,12 +59,17 @@ def smoothing_matrix(n: int, sigma: float, kernel_size: int) -> np.ndarray:
     return s
 
 
-MAPS_PER_PROGRAM = 16  # in-model optimum, re-measured after every VMEM-pressure-changing model edit because the ordering keeps flipping: post-cm17-head 16 -> 5242 img/s vs 32 -> 5136; pre-cm17 32 -> 4961 vs 16 -> 4924; pre-native-cm 16 -> 4716 vs 32 -> 4661 (standalone kernel-only numbers prefer 32: 5.2 vs 5.9 ms)
+MAPS_PER_PROGRAM = 64  # in-model optimum, re-measured after every VMEM-pressure-changing model edit because the ordering keeps flipping. With the batched phase B + merged stride-4 upsample + x-first PRN crop (one process, bs=128): 64 -> 18.92 ms, 48 -> 19.03, 32 -> 19.18, 16 -> 20.5; scalar phase B at 16 measured 19.17 in the same process (the two phase-B forms are within noise in-model once the crop einsum order stopped masking them). History: post-cm17-head 16 -> 5242 img/s vs 32 -> 5136; pre-cm17 32 -> 4961 vs 16 -> 4924 (standalone kernel-only numbers prefer 32: 5.2 vs 5.9 ms).
+
+# Phase-B form: True = all-vector batched selection over a [n_maps, P*W]
+# candidate matrix (zero scalar reductions — lane-axis keepdims rounds,
+# block writes); False = the round-3 maps-inner scalar rounds.
+BATCHED_PHASE_B = True
 
 
 def _decode_kernel(
     x_ref, sh_ref, sw_ref, scores_ref, ys_ref, xs_ref,
-    *, n_peaks: int, shift: float,
+    *, n_peaks: int, shift: float, batched_phase_b: bool = True,
 ):
     """[C, H, W] heatmaps → top-`n_peaks` (score, sub-pixel y, x) per map.
 
@@ -160,20 +165,52 @@ def _decode_kernel(
                 jnp.where(masked == colmax, pmap, big),
                 axis=0, keepdims=True,
             )                                                     # [1, W]
+            # Re-pack to a GLOBAL key (flat*16 + code, flat = row*w +
+            # col) so phase B's min-reduce implements lax.top_k's
+            # min-flat tie order.
+            pp.append((pk // 16) * (w * 16) + col_pw[:1] * 16 + pk % 16)
             ss.append(colmax)
-            pp.append(pk)
             masked = jnp.where(pmap == pk, neg_inf, masked)
-        cand_scores.append(jnp.concatenate(ss, axis=0))           # [P, W]
-        pk = jnp.concatenate(pp, axis=0)                          # [P, W]
-        # Re-pack to a GLOBAL key (flat*16 + code, flat = row*w + col) so
-        # phase B's min-reduce implements lax.top_k's min-flat tie order.
-        cand_packed.append(
-            (pk // 16) * (w * 16) + col_pw * 16 + pk % 16
-        )
+        if batched_phase_b:
+            # Lane-major candidate row per map: [1, P*W].
+            cand_scores.append(jnp.concatenate(ss, axis=1))
+            cand_packed.append(jnp.concatenate(pp, axis=1))
+        else:
+            cand_scores.append(jnp.concatenate(ss, axis=0))       # [P, W]
+            cand_packed.append(jnp.concatenate(pp, axis=0))
 
-    # Phase B: global top-P over the compact [P, W] candidates — one
-    # vector register per reduce. Rounds OUTER, maps INNER so one map's
-    # scalar-stall chain overlaps another's work.
+    if batched_phase_b:
+        # Phase B, all maps at once with ZERO scalar reductions: the
+        # [n_maps, P*W] candidate matrix is reduced along the lane axis
+        # (keepdims), every select/update is a broadcast vector op, and
+        # each round appends one [n_maps, 1] column directly into the
+        # output blocks. (The maps-inner scalar form below was
+        # stall-bound on 128 serial scalar reduce chains per program.)
+        cand_s = jnp.concatenate(cand_scores, axis=0)
+        cand_p = jnp.concatenate(cand_packed, axis=0)
+        s_cols, y_cols, x_cols = [], [], []
+        for _ in range(n_peaks):
+            m = jnp.max(cand_s, axis=1, keepdims=True)        # [M, 1]
+            pidx = jnp.min(
+                jnp.where(cand_s == m, cand_p, big),
+                axis=1, keepdims=True,
+            )                                                  # [M, 1]
+            cand_s = jnp.where(cand_p == pidx, neg_inf, cand_s)
+            idx = pidx // 16
+            cv = (pidx % 16 - 5).astype(jnp.float32)
+            dy = jnp.round(cv * 0.25) * shift
+            dx = (cv - jnp.round(cv * 0.25) * 4.0) * shift
+            s_cols.append(m)
+            y_cols.append((idx // w).astype(jnp.float32) + dy)
+            x_cols.append((idx % w).astype(jnp.float32) + dx)
+        scores_ref[:] = jnp.concatenate(s_cols, axis=1)
+        ys_ref[:] = jnp.concatenate(y_cols, axis=1)
+        xs_ref[:] = jnp.concatenate(x_cols, axis=1)
+        return
+
+    # Phase B (maps-inner scalar form): global top-P over the compact
+    # [P, W] candidates — one vector register per reduce. Rounds OUTER,
+    # maps INNER so one map's scalar-stall chain overlaps another's work.
     outs = [([], [], []) for _ in range(n_maps)]
     for _ in range(n_peaks):
         for c in range(n_maps):
@@ -227,7 +264,8 @@ def _decode_maps_pallas(
     total = n_maps + n_pad
     out_shape = jax.ShapeDtypeStruct((total, p), jnp.float32)
     kernel = functools.partial(
-        _decode_kernel, n_peaks=p, shift=float(config.subpixel_shift)
+        _decode_kernel, n_peaks=p, shift=float(config.subpixel_shift),
+        batched_phase_b=BATCHED_PHASE_B,
     )
     scores, ys, xs = pl.pallas_call(
         kernel,

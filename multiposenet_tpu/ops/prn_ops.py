@@ -35,6 +35,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Einsum contraction order for crop_heatmaps_cm: True = x-contraction
+# first ([P, K, H, cw] intermediate, cw=18 — ~64% the bytes of the
+# y-first [P, ch, K, W] one at the default crop grid). A/B flag; the
+# winner measured on v5e ships as the default.
+CROP_X_FIRST = True
+
 def interp_matrix(
     starts: jnp.ndarray,
     sizes: jnp.ndarray,
@@ -138,6 +144,12 @@ def crop_heatmaps_cm(
     rx = interp_matrix(
         x0, jnp.maximum(x1 - x0, 1e-3), crop_width, w
     ).astype(heatmap.dtype)
+    if CROP_X_FIRST:
+        # x-contraction first: the [P, K, H, cw] intermediate (cw=18) is
+        # ~64% the size of the y-first [P, ch, K, W] one (ch=28) at the
+        # default crop grid — less HBM traffic between the two einsums.
+        cols = jnp.einsum("pjx,kyx->pkyj", rx, heatmap)
+        return jnp.einsum("piy,pkyj->pjik", ry, cols)
     rows = jnp.einsum("piy,kyx->pikx", ry, heatmap)
     return jnp.einsum("pjx,pikx->pjik", rx, rows)
 

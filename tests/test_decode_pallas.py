@@ -75,3 +75,35 @@ def test_pallas_decode_rejects_bad_window():
     with pytest.raises(ValueError, match="3x3"):
         decode_heatmaps_pallas(jnp.zeros((1, 8, 128, 1)), cfg,
                                interpret=True)
+
+
+def test_pallas_decode_scalar_phase_b_matches_jnp():
+    """The maps-inner scalar phase-B fallback stays parity-exact (the
+    shipping default is the batched all-vector phase B)."""
+    import jax
+
+    from multiposenet_tpu.ops import decode_pallas
+
+    rng = np.random.RandomState(7)
+    hm = rng.rand(1, 128, 128, 5).astype(np.float32)
+    cfg = DecodeConfig(max_peaks_per_channel=6, score_threshold=0.3)
+    want = decode_jnp.decode_heatmaps(jnp.asarray(hm), cfg)
+    old = decode_pallas.BATCHED_PHASE_B
+    jax.clear_caches()
+    try:
+        decode_pallas.BATCHED_PHASE_B = False
+        got = decode_heatmaps_pallas(jnp.asarray(hm), cfg, interpret=True)
+    finally:
+        decode_pallas.BATCHED_PHASE_B = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.scores)[v], np.asarray(want.scores)[v],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.positions)[v], np.asarray(want.positions)[v],
+        rtol=1e-4, atol=1e-4,
+    )

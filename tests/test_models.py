@@ -45,9 +45,11 @@ def test_fpn_levels_and_width():
     variables = fpn.init(jax.random.PRNGKey(0), feats)
     p = fpn.apply(variables, feats)
     assert set(p) == {"P2", "P3", "P4", "P5", "P6", "P7",
-                      "T2", "T3", "T4", "T5"}
-    # Raw top-down maps share shape with their smoothed counterparts.
+                      "T2", "T3", "T4", "T5", "L2"}
+    # Raw top-down maps share shape with their smoothed counterparts;
+    # the pre-top-down C2 lateral shares T2's shape.
     assert p["T2"].shape == p["P2"].shape
+    assert p["L2"].shape == p["T2"].shape
     assert p["P2"].shape == (1, 32, 32, 64)
     assert p["P5"].shape == (1, 4, 4, 64)
     assert p["P6"].shape == (1, 2, 2, 64)
@@ -268,6 +270,30 @@ def test_native_cm_heatmaps_match_transpose():
 
     cfg = Config(model=ModelConfig(backbone_width=0.25, fpn_channels=32,
                                    head_channels=32))
+    model = MultiPoseNet(config=cfg, with_detector=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    want = np.transpose(np.asarray(out["heatmaps"]), (0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(out["heatmaps_cm"]), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_p2_late_merged_upsample_matches_cm_transpose():
+    """With kp_p2_late over raw T-maps, the merged-upsample stride-4 path
+    (L2 + up(T3 + h8), models/keypoint_head.py) must still produce cm
+    heatmaps equal to the NHWC output transposed (one add reassociation
+    vs the two-broadcast form — tolerance, not bit-exact)."""
+    import jax
+
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.models.posenet import MultiPoseNet
+
+    cfg = Config(model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                                   head_channels=32, kp_head_convs=1,
+                                   kp_smooth_pyramid=False,
+                                   kp_p2_late=True, kp_fuse_conv=False))
     model = MultiPoseNet(config=cfg, with_detector=False)
     x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
                     jnp.float32)
