@@ -53,12 +53,20 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--eval-images", type=int, default=32)
     parser.add_argument("--train-images", type=int, default=192)
+    parser.add_argument(
+        "--stage-caps", type=str, default="",
+        help="comma-separated backbone_stage_caps override, e.g. "
+             "48,128,0,0 (quality evidence for a capped architecture "
+             "before it ships in Config.fast())")
     args = parser.parse_args()
 
     cfg = Config.fast()
+    caps = (tuple(int(c) for c in args.stage_caps.split(","))
+            if args.stage_caps else cfg.model.backbone_stage_caps)
     cfg = cfg.replace(
         model=dataclasses.replace(
             cfg.model, compute_dtype="float32", bn_momentum=0.95,
+            backbone_stage_caps=caps,
         ),
         decode=DecodeConfig(score_threshold=0.1),
         train=TrainConfig(

@@ -80,6 +80,12 @@ class ModelConfig:
     # project everything to fpn_channels anyway, so capping the tail
     # trades HBM traffic for capacity measured on the synthetic benchmark.
     backbone_max_channels: int = 0
+    # Per-stage channel caps by output stride (stride 4, 8, 16, 32); 0 =
+    # no per-stage cap (backbone_max_channels still applies). The
+    # stride-4 stage is pure HBM traffic at 512² inputs — capping it at
+    # the FPN width (64) measured −1.6 ms/iter at bs=128 with quality
+    # evidence in the README 512² table. Applied after backbone_width.
+    backbone_stage_caps: tuple[int, int, int, int] = (0, 0, 0, 0)
     # Fold the per-channel input normalization (x/255 - mean)/std into the
     # stem conv kernel + a bias (both linear, so the composition is exact;
     # the model then consumes RAW 0-255 pixels). Deviation: the conv's
@@ -240,6 +246,14 @@ class Config:
                               kp_p2_late=True, stem_stride=4,
                               backbone_max_channels=256,
                               backbone_width=0.75,
+                              # Stage caps (r3): stride-4 stage at 48ch,
+                              # C3 stage at 128 — 18.95 -> 16.16 ms/iter
+                              # same-process; quality at 512² IMPROVED
+                              # over the uncapped trim (e2e AP 0.695 vs
+                              # 0.666 pool-128 — README table). C4 cap
+                              # at 192 measured WORSE (bad lane
+                              # multiple); C4/C5 keep max_channels=256.
+                              backbone_stage_caps=(48, 128, 0, 0),
                               # fuse conv dropped: towers + output conv
                               # are the mixing (−0.6 ms/iter measured).
                               kp_fuse_conv=False),

@@ -457,6 +457,9 @@ class MobileNetV1(nn.Module):
     width: float = 1.0
     min_channels: int = 8
     max_channels: int = 0  # 0 = uncapped (ModelConfig.backbone_max_channels)
+    # Per-stage caps by output stride 4/8/16/32 (0 = none); see
+    # ModelConfig.backbone_stage_caps.
+    stage_caps: tuple[int, int, int, int] = (0, 0, 0, 0)
     stem_stride: int = 2   # 4 = matmul stem, 256² stage removed (fast())
     bn_momentum: float = 0.997
     bn_epsilon: float = 1e-3
@@ -469,15 +472,20 @@ class MobileNetV1(nn.Module):
     def __call__(
         self, x: jnp.ndarray, train: bool = False
     ) -> dict[str, jnp.ndarray]:
-        def ch(c: int) -> int:
+        def ch(c: int, stride: int = 32) -> int:
             out = max(self.min_channels, _make_divisible(c * self.width))
-            return min(out, self.max_channels) if self.max_channels else out
+            if self.max_channels:
+                out = min(out, self.max_channels)
+            cap = self.stage_caps[
+                min(max(stride.bit_length() - 3, 0), 3)
+            ]
+            return min(out, cap) if cap else out
 
         assert self.stem_stride in (2, 4), self.stem_stride
         s4_stem = self.stem_stride == 4
         x = x.astype(self.dtype)
         x = ConvBNRelu6(
-            ch(32),
+            ch(32, self.stem_stride),
             kernel=(4, 4) if s4_stem else (3, 3),
             strides=(4, 4) if s4_stem else (2, 2),
             bn_momentum=self.bn_momentum,
@@ -491,12 +499,14 @@ class MobileNetV1(nn.Module):
         )(x, train=train)
 
         features: dict[str, jnp.ndarray] = {}
+        stride = self.stem_stride
         for i, (c, s) in enumerate(_MOBILENET_V1_BLOCKS):
             if s4_stem and i == 1:
                 # The stem already took the /4 step; C2 keeps stride 4.
                 s = 1
+            stride *= s
             x = DepthwiseSeparable(
-                ch(c),
+                ch(c, stride),
                 strides=(s, s),
                 bn_momentum=self.bn_momentum,
                 bn_epsilon=self.bn_epsilon,

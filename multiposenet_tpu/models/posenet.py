@@ -38,6 +38,7 @@ class MultiPoseNet(nn.Module):
             width=cfg.model.backbone_width,
             min_channels=cfg.model.min_backbone_channels,
             max_channels=cfg.model.backbone_max_channels,
+            stage_caps=cfg.model.backbone_stage_caps,
             stem_stride=cfg.model.stem_stride,
             bn_momentum=cfg.model.bn_momentum,
             bn_epsilon=cfg.model.bn_epsilon,

@@ -88,12 +88,20 @@ def _decode_kernel(
       among that column's top-P under the same (value desc, flat-index asc)
       total order.
 
-      Phase B: `n_peaks` rounds of scalar max / min-flat-index over the
-      [P, W] candidate matrix only — 128x less data per round than the
-      round-2 kernel's full-map scalar rounds, which were stall-bound on
-      serial scalar reductions (measured 2.9 µs/map; six variants tried and
-      documented below). Rounds run maps-inner so one map's scalar-unit
-      stalls overlap another's vector work.
+      Phase B (shipping form, BATCHED_PHASE_B=True): all maps' candidate
+      rows are stacked into ONE [n_maps, P*W] matrix and the global top-P
+      runs as `n_peaks` rounds of lane-axis (axis=1 keepdims) max +
+      min-packed-key reductions — every op is a full-width vector op over
+      all maps at once, zero scalar reductions, and each round appends one
+      [n_maps, 1] column straight into the output blocks. The legacy
+      maps-inner form (False; kept as a tested fallback) instead runs
+      scalar max / min-flat-index rounds per [P, W] matrix — 128x less
+      data per round than the round-2 kernel's full-map scalar rounds
+      (which were stall-bound on serial scalar reductions, 2.9 µs/map; six
+      variants tried and documented below), rounds maps-inner so one map's
+      scalar-unit stalls overlap another's vector work. In-model the two
+      forms measure within noise; the batched form ships for its simpler
+      compile and zero scalar-unit dependence.
 
     Ties resolve to the smallest flat index in both phases, matching
     lax.top_k's stable descending order (and therefore ops.decode.topk_2d).

@@ -34,6 +34,26 @@ def test_backbone_feature_strides():
     assert feats["C5"].shape[1:3] == (SIZE // 32, SIZE // 32)
 
 
+def test_backbone_stage_caps():
+    """backbone_stage_caps caps channels per output-stride stage (after
+    the width multiplier; backbone_max_channels still applies)."""
+    model = MobileNetV1(width=0.75, max_channels=256,
+                        stage_caps=(48, 128, 0, 0), stem_stride=4)
+    x = jnp.zeros((1, SIZE, SIZE, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x)
+    assert feats["C2"].shape[-1] == 48     # 96 capped to 48
+    assert feats["C3"].shape[-1] == 128    # 192 capped to 128
+    assert feats["C4"].shape[-1] == 256    # max_channels cap only
+    assert feats["C5"].shape[-1] == 256
+    # Stage caps also hold under the stride-2 stem block layout.
+    model2 = MobileNetV1(width=0.75, stage_caps=(48, 0, 0, 0))
+    v2 = model2.init(jax.random.PRNGKey(0), x)
+    f2 = model2.apply(v2, x)
+    assert f2["C2"].shape[-1] == 48
+    assert f2["C3"].shape[-1] == 192
+
+
 def test_fpn_levels_and_width():
     feats = {
         "C2": jnp.zeros((1, 32, 32, 16)),
