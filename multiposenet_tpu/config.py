@@ -80,6 +80,13 @@ class ModelConfig:
     # project everything to fpn_channels anyway, so capping the tail
     # trades HBM traffic for capacity measured on the synthetic benchmark.
     backbone_max_channels: int = 0
+    # Inference-only: emit the channel-major heatmap output via the fused
+    # Pallas stride-4 tail kernel (upsample-add + 3x3 output conv +
+    # channel-major write in one VMEM pass — ops/kp_tail_pallas.py).
+    # Active only on the merged kp_p2_late path with train=False on a TPU
+    # backend; everywhere else the jnp path runs. Measured e2e on v5e
+    # before shipping as a Config.fast() default (README lever table).
+    kp_tail_pallas: bool = False
     # Per-stage channel caps by output stride (stride 4, 8, 16, 32); 0 =
     # no per-stage cap (backbone_max_channels still applies). The
     # stride-4 stage is pure HBM traffic at 512² inputs — capping it at

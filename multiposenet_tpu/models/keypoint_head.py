@@ -50,13 +50,18 @@ class KeypointHead(nn.Module):
     # conv. With p2_late it runs at stride 8; dropping it leaves the
     # towers' own convs + the output conv as the only mixing.
     fuse_conv: bool = True
+    # Inference-only: emit heatmaps_cm via the fused Pallas stride-4 tail
+    # (ops/kp_tail_pallas.py — upsample-add + 3x3 conv + channel-major
+    # write in one VMEM pass). Only takes effect on the merged p2_late
+    # path with train=False on a TPU backend; the jnp path remains the
+    # reference (and the training/NHWC path everywhere).
+    tail_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, pyramid: dict[str, jnp.ndarray], train: bool = False
     ) -> dict[str, jnp.ndarray]:
-        del train
         # Per-level towers ("phi heads" in the paper), accumulated
         # coarse→fine so each 2x upsample runs at the coarser resolution.
         tower_levels = ("P5", "P4", "P3") if self.p2_late else (
@@ -81,6 +86,7 @@ class KeypointHead(nn.Module):
             x = nn.relu(x)
         else:
             x = summed
+        l2 = z8 = None
         if self.p2_late:
             # Stride-4 entry point: top-down P2 + upsampled fused stride-8
             # context; the output conv below is the only stride-4 conv.
@@ -95,7 +101,8 @@ class KeypointHead(nn.Module):
             l2 = pyramid.get("L2")
             if (l2 is not None and l2.shape[-1] == self.channels
                     and pyramid["P3"].shape[-1] == self.channels):
-                x = l2 + nearest_upsample_2x(pyramid["P3"] + x)
+                z8 = pyramid["P3"] + x
+                x = l2 + nearest_upsample_2x(z8)
             else:
                 p2 = pyramid["P2"]
                 if p2.shape[-1] != self.channels:
@@ -148,14 +155,32 @@ class KeypointHead(nn.Module):
         # cm path, and slicing [:, :17] off an 18-channel NCHW output
         # forces XLA to materialize relayout copies of the full tensor
         # (2x ~0.5 ms/iter at bs=128, profiled r3).
-        dn_cm = jax.lax.conv_dimension_numbers(
-            x.shape, hm_kernel.shape, ("NHWC", "HWIO", "NCHW")
+        from multiposenet_tpu.ops import kp_tail_pallas as tail_mod
+
+        use_tail = (
+            self.tail_pallas and not train and z8 is not None
+            and x.shape[1] % tail_mod._TILE_ROWS == 0
+            and x.shape[2] % 2 == 0
+            and (jax.default_backend() == "tpu"
+                 or tail_mod.FORCE_INTERPRET)
         )
-        y_cm = jax.lax.conv_general_dilated(
-            x, hm_kernel.astype(self.dtype), (1, 1), "SAME",
-            dimension_numbers=dn_cm,
-        ) + hm_bias.astype(self.dtype)[:, None, None]
-        out["heatmaps_cm"] = y_cm
+        if use_tail:
+            # Fused Pallas tail: upsample-add + output conv + cm write in
+            # one VMEM pass (the NHWC x/y above are DCE'd by XLA when the
+            # program reads only heatmaps_cm).
+            out["heatmaps_cm"] = tail_mod.kp_tail_cm(
+                l2, z8, hm_kernel.astype(self.dtype), hm_bias,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            dn_cm = jax.lax.conv_dimension_numbers(
+                x.shape, hm_kernel.shape, ("NHWC", "HWIO", "NCHW")
+            )
+            y_cm = jax.lax.conv_general_dilated(
+                x, hm_kernel.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=dn_cm,
+            ) + hm_bias.astype(self.dtype)[:, None, None]
+            out["heatmaps_cm"] = y_cm
         if self.with_segmentation:
             out["segmentation"] = y[..., k:]
         return out

@@ -62,6 +62,7 @@ class MultiPoseNet(nn.Module):
             with_segmentation=cfg.model.with_segmentation,
             p2_late=cfg.model.kp_p2_late,
             fuse_conv=cfg.model.kp_fuse_conv,
+            tail_pallas=cfg.model.kp_tail_pallas,
             dtype=dtype,
             name="keypoint_head",
         )
