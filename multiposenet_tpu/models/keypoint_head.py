@@ -159,7 +159,7 @@ class KeypointHead(nn.Module):
 
         use_tail = (
             self.tail_pallas and not train and z8 is not None
-            and x.shape[1] % tail_mod._TILE_ROWS == 0
+            and x.shape[1] % tail_mod.TILE_ROWS == 0
             and x.shape[2] % 2 == 0
             and (jax.default_backend() == "tpu"
                  or tail_mod.FORCE_INTERPRET)

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 # Rows of stride-4 output computed per im2col matmul. 16 rows x W=128
 # cols = 2048 patch rows per dot — big enough to stream the MXU, small
 # enough that the [2048, 9C] patch tile stays ~2.25 MB in VMEM.
-_TILE_ROWS = 16
+# Module-level so the perf sweep (_abench.py) can tune it in-process.
+TILE_ROWS = 16
 
 # Test hook: lets CPU wiring tests route the model through the kernel in
 # interpret mode (the head otherwise uses the jnp path off-TPU).
@@ -107,7 +108,7 @@ def kp_tail_cm(
     """
     b, h, w, c = l2.shape
     k = kernel.shape[-1]
-    if (h % _TILE_ROWS or w % 2 or h != 2 * z8.shape[1]
+    if (h % TILE_ROWS or w % 2 or h != 2 * z8.shape[1]
             or w != 2 * z8.shape[2] or c != z8.shape[3]):
         raise ValueError(
             f"kp_tail_cm shape mismatch: l2 {l2.shape}, z8 {z8.shape}"
@@ -118,7 +119,7 @@ def kp_tail_cm(
     bias2 = bias.astype(jnp.float32).reshape(1, k)
 
     fn = pl.pallas_call(
-        functools.partial(_tail_kernel, tile_rows=_TILE_ROWS),
+        functools.partial(_tail_kernel, tile_rows=TILE_ROWS),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
