@@ -38,6 +38,47 @@ def test_kp_tail_matches_conv(h, w, c, k):
     )
 
 
+def test_kp_tail_bf16_parity():
+    """The shipped compute dtype: bf16 inputs, f32 accumulation."""
+    rng = np.random.RandomState(1)
+    l2 = jnp.asarray(rng.randn(2, 32, 32, 16), jnp.bfloat16)
+    z8 = jnp.asarray(rng.randn(2, 16, 16, 16), jnp.bfloat16)
+    kernel = jnp.asarray(rng.randn(3, 3, 16, 17) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(17), jnp.float32)
+    got = kp_tail_cm(l2, z8, kernel, bias, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = _reference(
+        l2.astype(jnp.float32), z8.astype(jnp.float32),
+        kernel.astype(jnp.bfloat16).astype(jnp.float32), bias
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.05, atol=0.05
+    )
+
+
+def test_kp_tail_tile_rows_sweep_knob():
+    """TILE_ROWS is a perf knob only — results identical across values."""
+    from multiposenet_tpu.ops import kp_tail_pallas
+
+    rng = np.random.RandomState(2)
+    l2 = jnp.asarray(rng.randn(1, 64, 32, 8), jnp.float32)
+    z8 = jnp.asarray(rng.randn(1, 32, 16, 8), jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 3, 8, 17) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(17), jnp.float32)
+    want = _reference(l2, z8, kernel, bias)
+    old = kp_tail_pallas.TILE_ROWS
+    try:
+        for tile in (8, 16, 32):
+            kp_tail_pallas.TILE_ROWS = tile
+            got = kp_tail_cm(l2, z8, kernel, bias, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+                err_msg=f"tile_rows={tile}"
+            )
+    finally:
+        kp_tail_pallas.TILE_ROWS = old
+
+
 def test_kp_tail_rejects_bad_shapes():
     l2 = jnp.zeros((1, 30, 32, 8))  # H not a multiple of the row tile
     z8 = jnp.zeros((1, 15, 16, 8))
