@@ -161,6 +161,12 @@ class PRNConfig:
     # kernel's peaks carry quarter-pixel refinement; SURVEY.md §3.4).
     # 0 disables snapping (pure cell-center readout).
     snap_radius_cells: float = 1.0
+    # Expand person boxes by this fraction of each side before the PRN
+    # crop (inference AND PRN training — ops/prn_ops.expand_boxes). The
+    # reference crops the box exactly; with detector (not GT) boxes a
+    # margin keeps edge keypoints in the PRN's view. 0 = reference
+    # behavior.
+    crop_margin: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -225,6 +225,12 @@ class Predictor:
         (ops/prn_ops.snap_to_peaks) — the PRN decides WHICH peak belongs to
         this person, the peak provides the quarter-pixel position."""
         cfg = self.config
+        # Crop a margin-expanded view of each box (config.prn.crop_margin;
+        # PRN training applies the same margin) — edge keypoints of an
+        # imperfect detector box stay in the PRN's view. All downstream
+        # box-dependent math (inverse mapping, snap pitch) uses the same
+        # expanded boxes, so coordinates stay exact.
+        hm_boxes = prn_ops.expand_boxes(hm_boxes, cfg.prn.crop_margin)
         crops = prn_ops.batched_crop_heatmaps_cm(
             heatmaps_cm, hm_boxes,
             cfg.prn.crop_height, cfg.prn.crop_width,

@@ -41,6 +41,28 @@ import jax.numpy as jnp
 # winner measured on v5e ships as the default.
 CROP_X_FIRST = True
 
+def expand_boxes(boxes: jnp.ndarray, margin: float) -> jnp.ndarray:
+    """Expand (y0, x0, y1, x1) boxes by `margin` × side length per side.
+
+    The reference crops exactly the detected box (SURVEY.md §3.4 "crop
+    heatmaps inside box"); with imperfect detector boxes, keypoints near
+    the box edge (wrists, ankles, top of head) fall outside the PRN's
+    view and can never be selected. A small symmetric margin keeps them
+    in view; the crop grid's inverse mapping (keypoints_from_prn) uses
+    the same expanded box, so output coordinates stay exact. No clamping:
+    interp_matrix border-clamps its bilinear taps, matching how the
+    reference's crop saturates at heatmap borders.
+
+    boxes [..., 4]; margin 0 is the identity.
+    """
+    if margin == 0.0:
+        return boxes
+    y0, x0, y1, x1 = (boxes[..., i] for i in range(4))
+    dy = (y1 - y0) * margin
+    dx = (x1 - x0) * margin
+    return jnp.stack([y0 - dy, x0 - dx, y1 + dy, x1 + dx], axis=-1)
+
+
 def interp_matrix(
     starts: jnp.ndarray,
     sizes: jnp.ndarray,

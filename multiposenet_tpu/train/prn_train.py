@@ -98,7 +98,10 @@ def prn_loss_fn(
     hms = targets_lib.batched_keypoint_heatmaps(
         batch["keypoints"], hm_h, hm_w, stride
     )  # [B, H, W, K]
-    hm_boxes = batch["boxes"] / stride
+    # Same crop margin as inference (predictor._prn_assign) so the PRN
+    # trains on the geometry it will see.
+    boxes = prn_ops.expand_boxes(batch["boxes"], p_cfg.crop_margin)
+    hm_boxes = boxes / stride
     crops = prn_ops.batched_crop_heatmaps(
         hms, hm_boxes, p_cfg.crop_height, p_cfg.crop_width
     )  # [B, P, cw, ch, K]
@@ -114,7 +117,7 @@ def prn_loss_fn(
         lambda k, bx: crop_cell_targets(
             k, bx, p_cfg.crop_height, p_cfg.crop_width, stride
         )
-    )(batch["keypoints"], batch["boxes"])  # [B, P, 17] each
+    )(batch["keypoints"], boxes)  # [B, P, 17] each
     cell = cell.reshape(b * p, m.num_keypoints)
     weight = weight.reshape(b * p, m.num_keypoints)
     person_ok = (batch["valid"] & ~batch["iscrowd"]).reshape(b * p)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from multiposenet_tpu.ops.prn_ops import (
     batched_crop_heatmaps,
     crop_heatmaps,
+    expand_boxes,
     interp_matrix,
     keypoints_from_prn,
     to_channel_major,
@@ -93,6 +94,49 @@ def test_keypoints_from_prn_roundtrip():
     np.testing.assert_allclose(kps[0, 1, :2], [6 + 1.5 * bw / cw - 0.5,
                                                4 + 7.5 * bh / ch - 0.5],
                                atol=1e-5)
+
+
+def test_expand_boxes():
+    boxes = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
+    np.testing.assert_allclose(
+        np.asarray(expand_boxes(boxes, 0.0)), np.asarray(boxes))
+    got = np.asarray(expand_boxes(boxes, 0.1))
+    # height 20 → ±2, width 40 → ±4.
+    np.testing.assert_allclose(got, [[8.0, 16.0, 32.0, 64.0]], atol=1e-5)
+    # Batched leading dims pass through.
+    got2 = np.asarray(expand_boxes(jnp.tile(boxes, (2, 3, 1, 1)), 0.1))
+    assert got2.shape == (2, 3, 1, 4)
+    np.testing.assert_allclose(got2[1, 2], [[8.0, 16.0, 32.0, 64.0]],
+                               atol=1e-5)
+
+
+def test_crop_margin_brings_edge_peak_into_view():
+    """A peak just OUTSIDE a tight box is invisible to the PRN crop at
+    margin 0 but lands inside the expanded crop, and the inverse mapping
+    reads its position back (outside the original box) within one cell
+    pitch."""
+    h, w, k = 32, 32, 1
+    hm = np.zeros((h, w, k), dtype=np.float32)
+    hm[13:16, 24:27] = 1.0               # blob centered at (y=14, x=25)
+    box = np.asarray([[8.0, 10.0, 20.0, 24.0]])  # x1=24 < blob x≥24
+    ch, cw = 8, 6
+
+    for margin, visible in ((0.0, False), (0.15, True)):
+        ebox = expand_boxes(jnp.asarray(box), margin)
+        crops = crop_heatmaps(jnp.asarray(hm), ebox, ch, cw)  # [1,cw,ch,K]
+        crops_km = to_channel_major(crops, k)                 # [1, K, hw]
+        peak_val = float(np.asarray(crops_km).max())
+        assert (peak_val > 0.5) == visible, (margin, peak_val)
+        if visible:
+            kps = np.asarray(keypoints_from_prn(
+                crops_km, crops_km, ebox, ch, cw))
+            cell_pitch = max(
+                float(ebox[0, 2] - ebox[0, 0]) / ch,
+                float(ebox[0, 3] - ebox[0, 1]) / cw,
+            )
+            assert abs(kps[0, 0, 0] - 25.0) <= cell_pitch
+            assert abs(kps[0, 0, 1] - 14.0) <= cell_pitch
+            assert kps[0, 0, 0] > 24.0  # outside the ORIGINAL box
 
 
 def test_to_channel_major_roundtrip():
