@@ -58,11 +58,19 @@ def main() -> None:
         help="comma-separated backbone_stage_caps override, e.g. "
              "48,128,0,0 (quality evidence for a capped architecture "
              "before it ships in Config.fast())")
+    parser.add_argument(
+        "--prn-crop-margin", type=float, default=None,
+        help="config.prn.crop_margin override (PRN trains and infers "
+             "with the same margin; 128-squared A/B favored 0.1 — "
+             "NOTES_r3.md)")
     args = parser.parse_args()
 
     cfg = Config.fast()
     caps = (tuple(int(c) for c in args.stage_caps.split(","))
             if args.stage_caps else cfg.model.backbone_stage_caps)
+    if args.prn_crop_margin is not None:
+        cfg = cfg.replace(prn=dataclasses.replace(
+            cfg.prn, crop_margin=args.prn_crop_margin))
     cfg = cfg.replace(
         model=dataclasses.replace(
             cfg.model, compute_dtype="float32", bn_momentum=0.95,
