@@ -135,6 +135,11 @@ class DetectorConfig:
     # 20 = COCOeval keypoints maxDets; every padded slot costs PRN work.
     max_detections: int = 20
     nms_iou_threshold: float = 0.5
+    # Box voting (ops/nms.py): replace each NMS winner with the
+    # score-weighted average of live candidates at IoU ≥ this value.
+    # 0 = plain greedy NMS (the reference's behavior). Inference-graph
+    # knob — no retraining needed to flip.
+    nms_vote_iou: float = 0.0
     # COCO AP is ranking-based — candidates are never thresholded away in
     # the evaluator, so a high default floor only costs recall (the focal
     # prior starts sigmoid scores at ~0.01 and calibration grows slowly

@@ -98,7 +98,8 @@ def postprocess_detections(
     scores = jnp.where(scores >= config.score_threshold, scores, 0.0)
 
     out_boxes, out_scores, valid = batched_nms(
-        decoded, scores, config.max_detections, config.nms_iou_threshold
+        decoded, scores, config.max_detections, config.nms_iou_threshold,
+        config.nms_vote_iou,
     )
     valid = valid & (out_scores > 0.0)
     return Detections(

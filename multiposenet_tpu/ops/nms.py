@@ -18,24 +18,34 @@ import jax.numpy as jnp
 from multiposenet_tpu.ops.boxes import pairwise_iou
 
 
-@functools.partial(jax.jit, static_argnames=("max_out",))
+@functools.partial(jax.jit, static_argnames=("max_out", "vote_iou"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     max_out: int,
     iou_threshold: float = 0.5,
+    vote_iou: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over boxes[N, 4] / scores[N] → fixed max_out outputs.
 
     Returns (boxes[max_out, 4], scores[max_out], valid[max_out]); unselected
     slots have score 0 and valid False. Selection order is by descending
     score, exactly like the reference's sequential NMS.
+
+    vote_iou > 0 enables box voting: each selected box is replaced by the
+    score-weighted average of the still-live candidates with IoU ≥
+    vote_iou against it (itself included) — the cluster of anchors the
+    selection suppresses refines its localization instead of being
+    discarded. 0 keeps the reference's plain greedy NMS (winner box
+    verbatim). Adds one [N]-wide weighted sum per selection — noise next
+    to the IoU row already computed.
     """
     n = boxes.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
         boxes[:, 3] - boxes[:, 1], 0.0
     )
+    scores0 = scores.astype(jnp.float32)
 
     def iou_row(best):
         """IoU of boxes[best] vs all boxes — computed on the fly so the
@@ -49,7 +59,7 @@ def nms(
         return inter / jnp.maximum(areas[best] + areas - inter, 1e-8)
 
     def body(i, state):
-        live_scores, out_idx, out_scores = state
+        live_scores, out_idx, out_scores, out_boxes = state
         best = jnp.argmax(live_scores)
         best_score = live_scores[best]
         picked = best_score > neg_inf
@@ -57,25 +67,36 @@ def nms(
         out_scores = out_scores.at[i].set(
             jnp.where(picked, best_score, 0.0)
         )
+        ious = iou_row(best)
+        if vote_iou > 0.0:
+            live = live_scores > neg_inf
+            w = jnp.where(live & (ious >= vote_iou), scores0, 0.0)
+            voted = (w @ boxes) / jnp.maximum(w.sum(), 1e-8)
+        else:
+            voted = boxes[best]
+        out_boxes = out_boxes.at[i].set(
+            jnp.where(picked, voted, jnp.zeros_like(voted))
+        )
         # Suppress the chosen box and everything overlapping it.
-        suppress = iou_row(best) >= iou_threshold
+        suppress = ious >= iou_threshold
         live_scores = jnp.where(
             picked & suppress, neg_inf, live_scores
         )
         live_scores = live_scores.at[best].set(
             jnp.where(picked, neg_inf, live_scores[best])
         )
-        return live_scores, out_idx, out_scores
+        return live_scores, out_idx, out_scores, out_boxes
 
     init = (
-        scores.astype(jnp.float32),
+        scores0,
         jnp.full((max_out,), -1, jnp.int32),
         jnp.zeros((max_out,), jnp.float32),
+        jnp.zeros((max_out, 4), boxes.dtype),
     )
-    _, out_idx, out_scores = jax.lax.fori_loop(0, max_out, body, init)
+    _, out_idx, out_scores, out_boxes = jax.lax.fori_loop(
+        0, max_out, body, init
+    )
     valid = out_idx >= 0
-    safe_idx = jnp.maximum(out_idx, 0)
-    out_boxes = boxes[safe_idx] * valid[:, None].astype(boxes.dtype)
     return out_boxes, out_scores, valid
 
 
@@ -84,8 +105,9 @@ def batched_nms(
     scores: jnp.ndarray,
     max_out: int,
     iou_threshold: float = 0.5,
+    vote_iou: float = 0.0,
 ):
     """vmap of `nms` over a leading batch dim: boxes[B, N, 4], scores[B, N]."""
     return jax.vmap(
-        lambda b, s: nms(b, s, max_out, iou_threshold)
+        lambda b, s: nms(b, s, max_out, iou_threshold, vote_iou)
     )(boxes, scores)

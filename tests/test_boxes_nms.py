@@ -124,3 +124,28 @@ def test_postprocess_detections_finds_planted_box():
     np.testing.assert_allclose(center, [36.0, 36.0], atol=1.0)
     np.testing.assert_allclose(box[2] - box[0], 32.0, atol=1.0)
     assert float(det.scores[0, 0]) > 0.9
+
+
+def test_nms_box_voting():
+    """vote_iou > 0: the winner becomes the score-weighted mean of its
+    overlap cluster; disjoint boxes and vote_iou=0 are untouched."""
+    boxes = jnp.asarray([
+        [10.0, 10.0, 30.0, 30.0],   # cluster A winner (score 0.9)
+        [12.0, 12.0, 32.0, 32.0],   # cluster A member (score 0.6)
+        [80.0, 80.0, 100.0, 100.0], # disjoint box
+    ])
+    scores = jnp.asarray([0.9, 0.6, 0.7])
+    # Plain NMS: winner box verbatim (selection order 0.9, 0.7).
+    b0, s0, v0 = nms(boxes, scores, max_out=3, iou_threshold=0.5)
+    np.testing.assert_allclose(np.asarray(b0)[0], boxes[0], atol=1e-5)
+    # Voting: score-weighted average of boxes 0 and 1.
+    b1, s1, v1 = nms(boxes, scores, max_out=3, iou_threshold=0.5,
+                     vote_iou=0.5)
+    want = (0.9 * np.asarray(boxes[0]) + 0.6 * np.asarray(boxes[1])) / 1.5
+    got = np.asarray(b1)
+    np.testing.assert_allclose(got[0], want, atol=1e-4)
+    # The disjoint box (selected second, score 0.7) votes alone.
+    np.testing.assert_allclose(got[1], np.asarray(boxes[2]), atol=1e-4)
+    # Scores and validity identical to plain NMS.
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
