@@ -1,0 +1,113 @@
+"""A/B: PRN crop_margin effect on e2e AP (scratch, round 3).
+
+Trains the main model ONCE, then per margin trains a PRN (same seed,
+same data) and evaluates the full detector-driven predict() path plus
+the GT-box protocol. The only difference between arms is
+config.prn.crop_margin, so the AP delta isolates the margin (modulo PRN
+training noise).
+
+Usage: python _margin_ab.py [margins...]   (default 0.0 0.1 0.2)
+"""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+# Force CPU (the session env pins JAX_PLATFORMS=axon and the plugin
+# re-injects itself — needs BOTH, per .claude/skills/verify/SKILL.md).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from multiposenet_tpu.config import (
+    Config, DecodeConfig, DetectorConfig, ModelConfig, PRNConfig,
+    TrainConfig,
+)
+from multiposenet_tpu.data.loader import batch_iterator
+from multiposenet_tpu.data.synthetic import make_dataset
+from multiposenet_tpu.eval.oks import DetectionKP, KeypointEvaluator
+from multiposenet_tpu.eval.runner import (
+    evaluate_predictor,
+    record_ground_truths,
+)
+from multiposenet_tpu.infer.predictor import Predictor
+from multiposenet_tpu.train import prn_train
+from multiposenet_tpu.train.loop import train
+
+SIZE = 128
+
+
+def main() -> None:
+    margins = [float(m) for m in (sys.argv[1:] or ["0.0", "0.1", "0.2"])]
+    cfg = Config(
+        model=ModelConfig(backbone_width=0.5, fpn_channels=64,
+                          head_channels=64, bn_momentum=0.9),
+        detector=DetectorConfig(score_threshold=0.05, max_detections=8,
+                                pre_nms_top_k=200),
+        prn=PRNConfig(crop_height=28, crop_width=18, hidden_units=512,
+                      max_persons=6),
+        decode=DecodeConfig(score_threshold=0.1),
+        train=TrainConfig(
+            image_size=SIZE, batch_size=8, num_steps=500,
+            warmup_steps=20, learning_rate=2e-3, log_interval_steps=100,
+        ),
+    )
+    train_records = make_dataset(128, img_h=SIZE, img_w=SIZE,
+                                 min_persons=1, max_persons=4, seed=0)
+    eval_records = make_dataset(64, img_h=SIZE, img_w=SIZE,
+                                min_persons=1, max_persons=4, seed=999)
+
+    t0 = time.time()
+    state = train(
+        cfg,
+        batch_iterator(train_records, cfg.train.batch_size, SIZE,
+                       cfg.prn.max_persons, train=True),
+        checkpoint=False,
+        log_fn=lambda m: None,
+    )
+    state = jax.device_get(state)
+    print(f"# main model trained in {time.time() - t0:.0f}s", flush=True)
+
+    for margin in margins:
+        mcfg = cfg.replace(prn=dataclasses.replace(
+            cfg.prn, crop_margin=margin))
+        prn_state = prn_train.train_prn(
+            mcfg,
+            batch_iterator(train_records, cfg.train.batch_size, SIZE,
+                           cfg.prn.max_persons, train=True, augment=False),
+            num_steps=300,
+            log_fn=lambda m: None,
+        )
+        predictor = Predictor(
+            config=mcfg,
+            variables={"params": state.ema_params,
+                       "batch_stats": state.batch_stats},
+            prn_variables=jax.device_get(prn_state.params),
+            image_size=SIZE,
+        )
+        stats = evaluate_predictor(predictor, eval_records)
+        ev = KeypointEvaluator()
+        for rec in eval_records:
+            kps = predictor.predict_given_boxes(rec["image"], rec["boxes"])
+            dts = [DetectionKP(keypoints=kps[p].astype(np.float32),
+                               score=1.0)
+                   for p in range(len(rec["boxes"]))]
+            ev.add_image(record_ground_truths(rec), dts)
+        print(json.dumps({"margin": margin, "e2e": stats,
+                          "gt_box": ev.summarize()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

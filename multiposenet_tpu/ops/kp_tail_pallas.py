@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 # Rows of stride-4 output computed per im2col matmul. 16 rows x W=128
 # cols = 2048 patch rows per dot — big enough to stream the MXU, small
 # enough that the [2048, 9C] patch tile stays ~2.25 MB in VMEM.
-# Module-level so the perf sweep (_abench.py) can tune it in-process.
+# Module-level so the perf sweep (benchmarks/ab/abench.py) can tune it in-process.
 TILE_ROWS = 16
 
 # Test hook: lets CPU wiring tests route the model through the kernel in
