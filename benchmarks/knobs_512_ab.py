@@ -32,8 +32,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import jax
 import numpy as np
+
+# Honor an explicit CPU request (the axon PJRT plugin re-injects itself
+# into jax_platforms at import — both knobs are needed to force CPU for
+# dry-runs of this harness; see .claude/skills/verify/SKILL.md).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -50,7 +58,6 @@ from multiposenet_tpu.infer.predictor import Predictor
 from multiposenet_tpu.train import prn_train
 from multiposenet_tpu.train.loop import train
 
-SIZE = 512
 MARGINS = (0.0, 0.1)
 VOTES = (0.0, 0.75)
 
@@ -62,7 +69,11 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--eval-images", type=int, default=32)
     parser.add_argument("--train-images", type=int, default=192)
+    parser.add_argument("--size", type=int, default=512,
+                        help="override the operating-point resolution "
+                             "(CPU dry-runs of the harness itself)")
     args = parser.parse_args()
+    SIZE = args.size
 
     # Identical training-dynamics deltas to benchmarks/train_synthetic_512.py
     # (f32 training compute, short-run bn_momentum); the inference graph is
