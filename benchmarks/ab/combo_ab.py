@@ -3,13 +3,14 @@
 One main model; one PRN per margin; voting is eval-only. Reports the
 full grid so interaction effects show.
 
-Usage: python _combo_ab.py
+Usage: python combo_ab.py
 """
+
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-
-from __future__ import annotations
 
 import dataclasses
 import json

@@ -4,13 +4,14 @@
 One main model (fast() arch, f32 train dynamics per the 512 script's
 recipe), PRNs per margin, voting eval-only; GT-box protocol per margin.
 
-Usage: python _confirm256.py
+Usage: python benchmarks/ab/confirm256.py
 """
+
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-
-from __future__ import annotations
 
 import dataclasses
 import json

@@ -1,13 +1,14 @@
 """A/B: flip-TTA and decode threshold, eval-only, cached weights
-(scratch, round 3). Requires /tmp/ab_state.pkl from _snap_ab.py.
+(scratch, round 3). Requires /tmp/ab_state.pkl from snap_ab.py.
 
-Usage: python _final_ab.py
+Usage: python final_ab.py
 """
+
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-
-from __future__ import annotations
 
 import dataclasses
 import json
@@ -23,7 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-from _snap_ab import CACHE, SIZE, base_config
+from snap_ab import CACHE, SIZE, base_config
 from multiposenet_tpu.config import DecodeConfig
 from multiposenet_tpu.data.synthetic import make_dataset
 from multiposenet_tpu.eval.runner import evaluate_predictor

@@ -6,13 +6,14 @@ the GT-box protocol. The only difference between arms is
 config.prn.crop_margin, so the AP delta isolates the margin (modulo PRN
 training noise).
 
-Usage: python _margin_ab.py [margins...]   (default 0.0 0.1 0.2)
+Usage: python margin_ab.py [margins...]   (default 0.0 0.1 0.2)
 """
+
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-
-from __future__ import annotations
 
 import dataclasses
 import json

@@ -6,13 +6,14 @@ person score fed to the evaluator matters; the reference scores people
 by the detector box score [RECON]. Candidate rules blend the PRN
 keypoint confidences.
 
-Usage: python _score_ab.py
+Usage: python score_ab.py
 """
+
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-
-from __future__ import annotations
 
 import json
 import os

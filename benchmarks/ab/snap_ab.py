@@ -2,13 +2,14 @@
 (scratch, round 3). Caches trained weights in /tmp/ab_state.pkl so
 eval-only sweeps rerun instantly.
 
-Usage: python _snap_ab.py
+Usage: python snap_ab.py
 """
+
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-
-from __future__ import annotations
 
 import dataclasses
 import json

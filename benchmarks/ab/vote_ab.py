@@ -4,13 +4,14 @@ Inference-graph-only knob: trains main model + PRN once, then evaluates
 the detector-driven predict() path under several detector.nms_vote_iou
 values with identical weights.
 
-Usage: python _vote_ab.py
+Usage: python vote_ab.py
 """
+
+from __future__ import annotations
+
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-
-from __future__ import annotations
 
 import dataclasses
 import json
