@@ -58,7 +58,10 @@ from multiposenet_tpu.infer.predictor import Predictor
 from multiposenet_tpu.train import prn_train
 from multiposenet_tpu.train.loop import train
 
-MARGINS = (0.0, 0.1)
+# PRN arms: (crop_margin, window_jitter). Margin per the 128² A/B in
+# NOTES_r3.md; jitter 0.1 replicated +0.01 AP / +0.07 AP75 across three
+# PRN seeds at 128² (benchmarks/ab/jitter_ab.py).
+PRN_ARMS = ((0.0, 0.0), (0.1, 0.0), (0.1, 0.1))
 VOTES = (0.0, 0.75)
 
 
@@ -108,9 +111,9 @@ def main() -> None:
     variables = {"params": state.ema_params,
                  "batch_stats": state.batch_stats}
 
-    for margin in MARGINS:
+    for margin, jitter in PRN_ARMS:
         cfg_m = base.replace(prn=dataclasses.replace(
-            base.prn, crop_margin=margin))
+            base.prn, crop_margin=margin, window_jitter=jitter))
         prn_state = prn_train.train_prn(
             cfg_m,
             batch_iterator(train_records, cfg_m.train.batch_size, SIZE,
@@ -129,7 +132,7 @@ def main() -> None:
                           prn_variables=prn_variables, image_size=SIZE),
                 eval_records,
             )
-            print(json.dumps({"arm": {"margin": margin, "vote": vote},
+            print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "vote": vote},
                               "e2e_512": stats}), flush=True)
 
         # GT-box PRN protocol (vote-independent).
@@ -142,7 +145,7 @@ def main() -> None:
                                score=1.0)
                    for p in range(len(rec["boxes"]))]
             ev.add_image(record_ground_truths(rec), dts)
-        print(json.dumps({"arm": {"margin": margin, "protocol": "gtbox"},
+        print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "protocol": "gtbox"},
                           "gtbox_512": ev.summarize()}), flush=True)
 
 

@@ -172,6 +172,12 @@ class PRNConfig:
     # margin keeps edge keypoints in the PRN's view. 0 = reference
     # behavior.
     crop_margin: float = 0.0
+    # PRN training-time window jitter: each edge of the GT box moves by
+    # Uniform(±jitter × side_length) before the crop (train/prn_train.py).
+    # The reference trains the PRN on exact GT windows; at inference it
+    # sees noisy detector windows — jitter closes that train/test window
+    # mismatch. 0 = reference behavior.
+    window_jitter: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -229,7 +229,9 @@ class Predictor:
         # PRN training applies the same margin) — edge keypoints of an
         # imperfect detector box stay in the PRN's view. All downstream
         # box-dependent math (inverse mapping, snap pitch) uses the same
-        # expanded boxes, so coordinates stay exact.
+        # expanded boxes, so coordinates stay exact. (A two-pass variant
+        # that re-cropped at the pass-1 keypoint extent was measured and
+        # rejected — NOTES_r3.md "two-pass PRN".)
         hm_boxes = prn_ops.expand_boxes(hm_boxes, cfg.prn.crop_margin)
         crops = prn_ops.batched_crop_heatmaps_cm(
             heatmaps_cm, hm_boxes,

@@ -86,6 +86,7 @@ def prn_loss_fn(
     params: Any,
     batch: dict,
     config: Config,
+    rng: jax.Array | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Softmax-CE of the PRN output vs the one-hot GT grid, masked."""
     m = config.model
@@ -98,9 +99,25 @@ def prn_loss_fn(
     hms = targets_lib.batched_keypoint_heatmaps(
         batch["keypoints"], hm_h, hm_w, stride
     )  # [B, H, W, K]
+    boxes = batch["boxes"]
+    if p_cfg.window_jitter > 0.0 and rng is not None:
+        # Train/test window mismatch fix (config.prn.window_jitter): the
+        # inference windows are noisy detector boxes, not exact GT boxes.
+        # Move each edge by Uniform(±jitter × side); the cell targets
+        # below derive from the SAME jittered box, and keypoints pushed
+        # outside the window are masked by crop_cell_targets' `inside`.
+        j = p_cfg.window_jitter
+        y0, x0, y1, x1 = (boxes[..., i] for i in range(4))
+        u = jax.random.uniform(rng, boxes.shape, minval=-j, maxval=j)
+        h = (y1 - y0)[..., None]
+        w = (x1 - x0)[..., None]
+        deltas = u * jnp.concatenate(
+            [h, w, h, w], axis=-1
+        )
+        boxes = boxes + deltas
     # Same crop margin as inference (predictor._prn_assign) so the PRN
     # trains on the geometry it will see.
-    boxes = prn_ops.expand_boxes(batch["boxes"], p_cfg.crop_margin)
+    boxes = prn_ops.expand_boxes(boxes, p_cfg.crop_margin)
     hm_boxes = boxes / stride
     crops = prn_ops.batched_crop_heatmaps(
         hms, hm_boxes, p_cfg.crop_height, p_cfg.crop_width
@@ -155,10 +172,15 @@ def create_prn_state(config: Config, rng: jax.Array) -> PRNTrainState:
 def make_prn_train_step(config: Config):
     prn = make_prn(config)
     tx = optax.adam(1e-3)
+    # Per-step jitter stream, independent of the init key and
+    # deterministic under checkpoint/resume (folds in state.step).
+    base_rng = jax.random.PRNGKey(config.train.seed + 1)
 
     def step(state: PRNTrainState, batch: dict):
+        rng = jax.random.fold_in(base_rng, state.step)
         grads, metrics = jax.grad(
-            lambda prm: prn_loss_fn(prn, prm, batch, config), has_aux=True
+            lambda prm: prn_loss_fn(prn, prm, batch, config, rng),
+            has_aux=True,
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state)
         params = optax.apply_updates(state.params, updates)

@@ -71,3 +71,47 @@ def test_prn_training_improves_accuracy():
     assert np.isfinite(last_loss)
     assert last_acc > first_acc + 0.2, (first_acc, last_acc)
     assert last_acc > 0.5, last_acc
+
+
+def test_window_jitter_loss_path():
+    """prn.window_jitter: jittered windows give a finite, different loss
+    from the exact-GT-window path, and jitter=0 with an rng is identical
+    to the reference no-rng path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multiposenet_tpu.train.prn_train import (
+        create_prn_state, make_prn, prn_loss_fn,
+    )
+
+    from multiposenet_tpu.config import (
+        Config, ModelConfig, PRNConfig, TrainConfig,
+    )
+
+    cfg = Config(
+        model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                          head_channels=32),
+        prn=PRNConfig(crop_height=8, crop_width=6, hidden_units=32,
+                      max_persons=3),
+        train=TrainConfig(image_size=64, batch_size=2, num_steps=1),
+    )
+    prn = make_prn(cfg)
+    state = create_prn_state(cfg, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(42)
+    batch = {
+        "keypoints": jnp.zeros((2, 3, 17, 3)).at[..., :2].set(20.0)
+        .at[..., 2].set(2.0),
+        "boxes": jnp.tile(jnp.asarray([8.0, 8.0, 40.0, 40.0]), (2, 3, 1)),
+        "valid": jnp.ones((2, 3), bool),
+        "iscrowd": jnp.zeros((2, 3), bool),
+    }
+    base, _ = prn_loss_fn(prn, state.params, batch, cfg)
+    base_rng, _ = prn_loss_fn(prn, state.params, batch, cfg, rng)
+    assert float(base) == float(base_rng)  # jitter=0: rng is inert
+
+    jcfg = cfg.replace(prn=dataclasses.replace(cfg.prn, window_jitter=0.1))
+    jit_loss, metrics = prn_loss_fn(prn, state.params, batch, jcfg, rng)
+    assert jnp.isfinite(jit_loss)
+    assert float(jit_loss) != float(base)  # windows actually moved
