@@ -75,6 +75,12 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=512,
                         help="override the operating-point resolution "
                              "(CPU dry-runs of the harness itself)")
+    parser.add_argument("--box-loss", default="huber",
+                        choices=("huber", "giou"),
+                        help="main-model box-regression loss arm "
+                             "(giou retrains the main model — see "
+                             "benchmarks/ab/giou_ab.py for the 128² A/B)")
+    parser.add_argument("--giou-weight", type=float, default=2.0)
     args = parser.parse_args()
     SIZE = args.size
 
@@ -85,6 +91,9 @@ def main() -> None:
     base = base.replace(
         model=dataclasses.replace(
             base.model, compute_dtype="float32", bn_momentum=0.95),
+        detector=dataclasses.replace(
+            base.detector, box_loss=args.box_loss,
+            giou_loss_weight=args.giou_weight),
         decode=DecodeConfig(score_threshold=0.1),
         train=TrainConfig(
             image_size=SIZE, batch_size=args.batch_size,
@@ -132,7 +141,7 @@ def main() -> None:
                           prn_variables=prn_variables, image_size=SIZE),
                 eval_records,
             )
-            print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "vote": vote},
+            print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "vote": vote, "box_loss": args.box_loss},
                               "e2e_512": stats}), flush=True)
 
         # GT-box PRN protocol (vote-independent).
@@ -145,7 +154,7 @@ def main() -> None:
                                score=1.0)
                    for p in range(len(rec["boxes"]))]
             ev.add_image(record_ground_truths(rec), dts)
-        print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "protocol": "gtbox"},
+        print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "protocol": "gtbox", "box_loss": args.box_loss},
                           "gtbox_512": ev.summarize()}), flush=True)
 
 

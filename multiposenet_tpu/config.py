@@ -122,6 +122,14 @@ class DetectorConfig:
     focal_gamma: float = 2.0
     # Box regression loss weight.
     box_loss_weight: float = 50.0
+    # Box regression loss form: "huber" (per-coordinate Huber on anchor
+    # deltas — the RetinaNet/reference form) or "giou" (1 - GIoU on
+    # DECODED boxes — optimizes the overlap NMS and the evaluator
+    # actually score). Training-time knob; giou uses giou_loss_weight
+    # in place of box_loss_weight (different natural scale: 1-GIoU is
+    # O(1) while Huber on deltas is O(delta^2)).
+    box_loss: str = "huber"
+    giou_loss_weight: float = 2.0
     # Matching thresholds for anchor assignment.
     match_high: float = 0.5
     match_low: float = 0.4

@@ -58,6 +58,47 @@ def focal_loss(
     return jnp.sum(fl) / num_pos
 
 
+def _elementwise_giou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Generalized IoU between aligned box arrays [..., 4] (y0, x0, y1, x1)."""
+    iy0 = jnp.maximum(a[..., 0], b[..., 0])
+    ix0 = jnp.maximum(a[..., 1], b[..., 1])
+    iy1 = jnp.minimum(a[..., 2], b[..., 2])
+    ix1 = jnp.minimum(a[..., 3], b[..., 3])
+    inter = jnp.maximum(iy1 - iy0, 0.0) * jnp.maximum(ix1 - ix0, 0.0)
+    area_a = jnp.maximum(a[..., 2] - a[..., 0], 0.0) * jnp.maximum(
+        a[..., 3] - a[..., 1], 0.0
+    )
+    area_b = jnp.maximum(b[..., 2] - b[..., 0], 0.0) * jnp.maximum(
+        b[..., 3] - b[..., 1], 0.0
+    )
+    union = area_a + area_b - inter
+    iou = inter / jnp.maximum(union, 1e-8)
+    hy0 = jnp.minimum(a[..., 0], b[..., 0])
+    hx0 = jnp.minimum(a[..., 1], b[..., 1])
+    hy1 = jnp.maximum(a[..., 2], b[..., 2])
+    hx1 = jnp.maximum(a[..., 3], b[..., 3])
+    hull = jnp.maximum(hy1 - hy0, 0.0) * jnp.maximum(hx1 - hx0, 0.0)
+    return iou - (hull - union) / jnp.maximum(hull, 1e-8)
+
+
+def box_giou_loss(
+    pred_boxes: jnp.ndarray,
+    target_boxes: jnp.ndarray,
+    cls_target: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean (1 - GIoU) over positive anchors, on DECODED boxes.
+
+    Unlike the per-coordinate Huber on deltas, GIoU optimizes the overlap
+    the evaluator and NMS actually score, and couples the four coordinates
+    (a center error trades off against a size error). pred/target
+    [B, N, 4] decoded (y0, x0, y1, x1); cls_target [B, N].
+    """
+    pos = cls_target == 1.0
+    g = _elementwise_giou(pred_boxes, target_boxes)
+    loss = jnp.where(pos, 1.0 - g, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(pos), 1.0)
+
+
 def box_huber_loss(
     pred_deltas: jnp.ndarray,
     target_deltas: jnp.ndarray,

@@ -22,6 +22,7 @@ import optax
 from multiposenet_tpu.config import Config
 from multiposenet_tpu.data import targets as targets_lib
 from multiposenet_tpu.models.posenet import MultiPoseNet
+from multiposenet_tpu.ops import boxes as boxes_lib
 from multiposenet_tpu.ops.anchors import all_anchors
 from multiposenet_tpu.ops.detection import flatten_outputs
 from multiposenet_tpu.train import losses as losses_lib
@@ -151,10 +152,17 @@ def compute_losses(
         cls_loss = losses_lib.focal_loss(
             logits.astype(jnp.float32), cls_t, d.focal_alpha, d.focal_gamma
         )
-        box_loss = losses_lib.box_huber_loss(
-            deltas.astype(jnp.float32), box_t, cls_t
-        )
-        det_loss = cls_loss + d.box_loss_weight * box_loss
+        if d.box_loss == "giou":
+            anchors = jnp.asarray(all_anchors(t.image_size, d))
+            pred_boxes = boxes_lib.decode(deltas.astype(jnp.float32), anchors)
+            tgt_boxes = boxes_lib.decode(box_t, anchors)
+            box_loss = losses_lib.box_giou_loss(pred_boxes, tgt_boxes, cls_t)
+            det_loss = cls_loss + d.giou_loss_weight * box_loss
+        else:
+            box_loss = losses_lib.box_huber_loss(
+                deltas.astype(jnp.float32), box_t, cls_t
+            )
+            det_loss = cls_loss + d.box_loss_weight * box_loss
         total = total + t.detector_loss_weight * det_loss
         metrics.update(
             cls_loss=cls_loss, box_loss=box_loss, detector_loss=det_loss

@@ -97,3 +97,49 @@ def test_train_step_sharded_over_mesh():
         rtol=1e-4,
     )
     assert int(new_state.step) == 1
+
+
+def test_giou_loss_values_and_masking():
+    """GIoU unit semantics: 0 for perfect boxes, 1 at touching-disjoint
+    IoU=0 (hull == union), >1 when the hull exceeds the union, and
+    positives-only masking."""
+    from multiposenet_tpu.train import losses as losses_lib
+
+    a = jnp.asarray([[[0.0, 0.0, 10.0, 10.0],
+                      [0.0, 0.0, 10.0, 10.0],
+                      [0.0, 0.0, 10.0, 10.0]]])
+    b = jnp.asarray([[[0.0, 0.0, 10.0, 10.0],      # identical -> loss 0
+                      [10.0, 0.0, 20.0, 10.0],      # touching -> loss 1
+                      [30.0, 30.0, 40.0, 40.0]]])   # far -> loss > 1
+    cls_t = jnp.asarray([[1.0, 1.0, 1.0]])
+    per_box = [
+        float(losses_lib.box_giou_loss(a[:, i:i + 1], b[:, i:i + 1],
+                                       cls_t[:, i:i + 1]))
+        for i in range(3)
+    ]
+    assert abs(per_box[0]) < 1e-6
+    assert abs(per_box[1] - 1.0) < 1e-6
+    assert per_box[2] > 1.0
+    # Ignore/negative anchors contribute nothing.
+    masked = float(losses_lib.box_giou_loss(
+        a, b, jnp.asarray([[1.0, 0.0, -1.0]])
+    ))
+    assert abs(masked - per_box[0]) < 1e-6
+
+
+def test_train_step_giou_box_loss_decreases():
+    """The giou knob trains: loss finite and decreasing on a fixed batch."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = cfg.replace(detector=dataclasses.replace(
+        cfg.detector, box_loss="giou"))
+    state = steps_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(steps_lib.make_train_step(cfg))
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, 2).items()}
+    state1, m0 = train_step(state, batch)
+    first = float(m0["total_loss"])
+    assert np.isfinite(first) and np.isfinite(float(m0["box_loss"]))
+    for _ in range(8):
+        state1, m = train_step(state1, batch)
+    assert float(m["total_loss"]) < first
