@@ -8,8 +8,10 @@ inference-graph-only detection knobs on one cached crowded model
 
   - nms_iou_threshold: 0.5 (ship) / 0.6 / 0.7 — keep more overlapping
     boxes alive;
+  - Gaussian soft-NMS (detector.soft_nms_sigma 0.3 / 0.5) — decay
+    instead of kill, the classic crowd fix;
   - max_detections head-room already set to 12 (vs 9 GT max);
-  - nms_vote_iou on/off interaction at each threshold.
+  - nms_vote_iou on/off interaction at each arm.
 
 Usage: python benchmarks/ab/crowd_nms_ab.py
 """
@@ -70,16 +72,19 @@ def main() -> None:
         with open(PRN_CACHE, "wb") as f:
             pickle.dump(prn_variables, f)
 
-    for nms_iou in (0.5, 0.6, 0.7):
+    # Hard-NMS threshold arms, then Gaussian soft-NMS arms; vote on/off
+    # interaction at each.
+    arms = ([{"nms_iou_threshold": t} for t in (0.5, 0.6, 0.7)]
+            + [{"soft_nms_sigma": s} for s in (0.3, 0.5)])
+    for arm in arms:
         for vote in (0.0, 0.75):
             cfg = cfg0.replace(detector=dataclasses.replace(
-                cfg0.detector, nms_iou_threshold=nms_iou,
-                nms_vote_iou=vote))
+                cfg0.detector, nms_vote_iou=vote, **arm))
             predictor = Predictor(config=cfg, variables=variables,
                                   prn_variables=prn_variables,
                                   image_size=SIZE)
             s = evaluate_predictor(predictor, eval_records)
-            print(json.dumps({"nms_iou": nms_iou, "vote": vote,
+            print(json.dumps(arm | {"vote": vote,
                               "e2e_AP": s["AP"], "e2e_AP50": s["AP50"],
                               "e2e_AP75": s["AP75"], "AR": s.get("AR")}),
                   flush=True)

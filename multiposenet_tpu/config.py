@@ -122,6 +122,12 @@ class DetectorConfig:
     focal_gamma: float = 2.0
     # Box regression loss weight.
     box_loss_weight: float = 50.0
+    # Gaussian soft-NMS (Bodla et al. 2017): sigma > 0 replaces hard
+    # suppression with exp(-IoU²/σ) score decay, keeping genuinely-
+    # overlapping people alive in crowds (nms_iou_threshold is unused in
+    # that mode). 0 = the reference's hard greedy NMS. Inference-graph
+    # knob; sweep in benchmarks/ab/crowd_nms_ab.py.
+    soft_nms_sigma: float = 0.0
     # Box regression loss form: "huber" (per-coordinate Huber on anchor
     # deltas — the RetinaNet/reference form) or "giou" (1 - GIoU on
     # DECODED boxes — optimizes the overlap NMS and the evaluator

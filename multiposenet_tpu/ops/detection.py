@@ -99,7 +99,7 @@ def postprocess_detections(
 
     out_boxes, out_scores, valid = batched_nms(
         decoded, scores, config.max_detections, config.nms_iou_threshold,
-        config.nms_vote_iou,
+        config.nms_vote_iou, config.soft_nms_sigma,
     )
     valid = valid & (out_scores > 0.0)
     return Detections(

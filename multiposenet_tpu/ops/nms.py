@@ -18,13 +18,16 @@ import jax.numpy as jnp
 from multiposenet_tpu.ops.boxes import pairwise_iou
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "vote_iou"))
+@functools.partial(
+    jax.jit, static_argnames=("max_out", "vote_iou", "soft_sigma")
+)
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     max_out: int,
     iou_threshold: float = 0.5,
     vote_iou: float = 0.0,
+    soft_sigma: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over boxes[N, 4] / scores[N] → fixed max_out outputs.
 
@@ -39,6 +42,17 @@ def nms(
     discarded. 0 keeps the reference's plain greedy NMS (winner box
     verbatim). Adds one [N]-wide weighted sum per selection — noise next
     to the IoU row already computed.
+
+    soft_sigma > 0 enables Gaussian soft-NMS (Bodla et al. 2017):
+    instead of hard-killing every candidate with IoU ≥ iou_threshold,
+    each selection DECAYS the still-live candidates' scores by
+    exp(-IoU²/σ) — overlapping boxes survive with reduced scores and can
+    still win later rounds, which keeps genuinely-overlapping people
+    alive in crowded scenes. iou_threshold is unused in this mode (the
+    decay replaces the hard cut); later picks are re-ranked by decayed
+    scores and report them (detection.postprocess_detections still
+    filters `score > 0`, and the caller's score_threshold was applied
+    pre-NMS). Same O(max_out · N) VPU shape as the hard path.
     """
     n = boxes.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
@@ -77,11 +91,21 @@ def nms(
         out_boxes = out_boxes.at[i].set(
             jnp.where(picked, voted, jnp.zeros_like(voted))
         )
-        # Suppress the chosen box and everything overlapping it.
-        suppress = ious >= iou_threshold
-        live_scores = jnp.where(
-            picked & suppress, neg_inf, live_scores
-        )
+        if soft_sigma > 0.0:
+            # Gaussian soft-NMS: decay live scores by overlap with the
+            # pick instead of hard suppression. exp() is never exactly 0
+            # so -inf (dead) slots stay -inf; sigmoid scores are >= 0 so
+            # the decay only ever lowers them.
+            decay = jnp.exp(-(ious * ious) / soft_sigma)
+            live_scores = jnp.where(picked, live_scores * decay,
+                                    live_scores)
+        else:
+            # Suppress everything overlapping the chosen box.
+            suppress = ious >= iou_threshold
+            live_scores = jnp.where(
+                picked & suppress, neg_inf, live_scores
+            )
+        # The chosen box itself never competes again (either mode).
         live_scores = live_scores.at[best].set(
             jnp.where(picked, neg_inf, live_scores[best])
         )
@@ -106,8 +130,10 @@ def batched_nms(
     max_out: int,
     iou_threshold: float = 0.5,
     vote_iou: float = 0.0,
+    soft_sigma: float = 0.0,
 ):
     """vmap of `nms` over a leading batch dim: boxes[B, N, 4], scores[B, N]."""
     return jax.vmap(
-        lambda b, s: nms(b, s, max_out, iou_threshold, vote_iou)
+        lambda b, s: nms(b, s, max_out, iou_threshold, vote_iou,
+                         soft_sigma)
     )(boxes, scores)
