@@ -62,7 +62,11 @@ from multiposenet_tpu.train.loop import train
 # NOTES_r3.md; jitter 0.1 replicated +0.01 AP / +0.07 AP75 across three
 # PRN seeds at 128² (benchmarks/ab/jitter_ab.py).
 PRN_ARMS = ((0.0, 0.0), (0.1, 0.0), (0.1, 0.1))
-VOTES = (0.0, 0.75)
+# Inference-graph NMS arms: (nms_vote_iou, soft_nms_sigma). Vote per the
+# 128² grid; soft-NMS sigma 0.5 won the crowded-scene sweep
+# (benchmarks/ab/crowd_nms_ab.py, +0.052 AP with vote) — eval-only, so
+# confirming it here costs four extra evals, not a retrain.
+NMS_ARMS = ((0.0, 0.0), (0.75, 0.0), (0.0, 0.5), (0.75, 0.5))
 
 
 def main() -> None:
@@ -133,15 +137,15 @@ def main() -> None:
         )
         prn_variables = jax.device_get(prn_state.params)
 
-        for vote in VOTES:
+        for vote, sigma in NMS_ARMS:
             cfg_mv = cfg_m.replace(detector=dataclasses.replace(
-                cfg_m.detector, nms_vote_iou=vote))
+                cfg_m.detector, nms_vote_iou=vote, soft_nms_sigma=sigma))
             stats = evaluate_predictor(
                 Predictor(config=cfg_mv, variables=variables,
                           prn_variables=prn_variables, image_size=SIZE),
                 eval_records,
             )
-            print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "vote": vote, "box_loss": args.box_loss},
+            print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "vote": vote, "soft_sigma": sigma, "box_loss": args.box_loss},
                               "e2e_512": stats}), flush=True)
 
         # GT-box PRN protocol (vote-independent).
