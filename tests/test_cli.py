@@ -85,3 +85,22 @@ def test_cli_prepare_synthetic(tmp_path):
     records = list(read_shards(out))
     assert len(records) == 3
     assert records[0]["image"].shape[-1] == 3
+
+
+def test_crowd_preset_roundtrip_and_knobs():
+    """Config.crowd(): the measured crowd knobs are on, it differs from
+    fast() only where documented, and it JSON round-trips."""
+    from multiposenet_tpu.config import Config
+
+    c = Config.crowd()
+    f = Config.fast()
+    assert c.detector.box_loss == "giou"
+    assert c.detector.soft_nms_sigma == 0.5
+    assert c.detector.nms_vote_iou == 0.75
+    assert c.detector.max_detections == 12
+    assert c.prn.crop_margin == 0.1
+    assert c.prn.max_persons == 12
+    assert c.prn.window_jitter == 0.0  # crowd-unsafe knob stays off
+    assert c.model == f.model           # same compute architecture
+    assert Config.from_json(c.to_json()) == c
+    hash(c)
