@@ -26,6 +26,11 @@ def _load_config(args) -> "Config":
 
     if args.config:
         return Config.from_json(Path(args.config).read_text())
+    preset = getattr(args, "preset", None) or "default"
+    if preset == "fast":
+        return Config.fast()
+    if preset == "crowd":
+        return Config.crowd()
     return Config()
 
 
@@ -186,6 +191,11 @@ def main(argv=None) -> None:
 
     def common(p):
         p.add_argument("--config", help="config JSON path")
+        p.add_argument("--preset", choices=("default", "fast", "crowd"),
+                       help="named operating point when no --config is "
+                            "given: 'fast' = the benchmarked TPU "
+                            "throughput point, 'crowd' = fast + the "
+                            "measured crowded-scene knobs (README)")
         p.add_argument("--coco-json", help="COCO person_keypoints json")
         p.add_argument("--image-dir", help="image directory for COCO")
         p.add_argument("--synthetic", type=int,

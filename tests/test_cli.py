@@ -104,3 +104,18 @@ def test_crowd_preset_roundtrip_and_knobs():
     assert c.model == f.model           # same compute architecture
     assert Config.from_json(c.to_json()) == c
     hash(c)
+
+
+def test_cli_preset_flag():
+    """--preset selects the named operating point when no --config."""
+    import argparse
+
+    from multiposenet_tpu.cli import _load_config
+    from multiposenet_tpu.config import Config
+
+    ns = argparse.Namespace(config=None, preset="crowd")
+    assert _load_config(ns) == Config.crowd()
+    ns = argparse.Namespace(config=None, preset="fast")
+    assert _load_config(ns) == Config.fast()
+    ns = argparse.Namespace(config=None, preset=None)
+    assert _load_config(ns) == Config()
