@@ -80,36 +80,47 @@ def main() -> None:
                         help="override the operating-point resolution "
                              "(CPU dry-runs of the harness itself)")
     parser.add_argument("--box-loss", default="huber",
-                        choices=("huber", "giou"),
+                        choices=("huber", "giou", "both"),
                         help="main-model box-regression loss arm "
                              "(giou retrains the main model — see "
-                             "benchmarks/ab/giou_ab.py for the 128² A/B)")
-    parser.add_argument("--giou-weight", type=float, default=2.0)
+                             "benchmarks/ab/giou_ab.py for the 128² A/B; "
+                             "'both' trains both in ONE process so the "
+                             "identical inference/PRN graphs share "
+                             "compiles — the axon remote-compile has no "
+                             "cross-process Mosaic cache)")
+    parser.add_argument("--giou-weight", type=float, default=5.0)
     args = parser.parse_args()
     SIZE = args.size
+    box_losses = (("huber", "giou") if args.box_loss == "both"
+                  else (args.box_loss,))
 
     # Identical training-dynamics deltas to benchmarks/train_synthetic_512.py
     # (f32 training compute, short-run bn_momentum); the inference graph is
     # the shipped fast() one.
-    base = Config.fast()
-    base = base.replace(
-        model=dataclasses.replace(
-            base.model, compute_dtype="float32", bn_momentum=0.95),
-        detector=dataclasses.replace(
-            base.detector, box_loss=args.box_loss,
-            giou_loss_weight=args.giou_weight),
-        decode=DecodeConfig(score_threshold=0.1),
-        train=TrainConfig(
-            image_size=SIZE, batch_size=args.batch_size,
-            num_steps=args.steps, warmup_steps=50, learning_rate=2e-3,
-            log_interval_steps=50,
-        ),
-    )
     train_records = make_dataset(args.train_images, img_h=SIZE, img_w=SIZE,
                                  min_persons=1, max_persons=8, seed=0)
     eval_records = make_dataset(args.eval_images, img_h=SIZE, img_w=SIZE,
                                 min_persons=2, max_persons=8, seed=999)
 
+    for box_loss in box_losses:
+        base = Config.fast()
+        base = base.replace(
+            model=dataclasses.replace(
+                base.model, compute_dtype="float32", bn_momentum=0.95),
+            detector=dataclasses.replace(
+                base.detector, box_loss=box_loss,
+                giou_loss_weight=args.giou_weight),
+            decode=DecodeConfig(score_threshold=0.1),
+            train=TrainConfig(
+                image_size=SIZE, batch_size=args.batch_size,
+                num_steps=args.steps, warmup_steps=50, learning_rate=2e-3,
+                log_interval_steps=50,
+            ),
+        )
+        run_arms(args, base, box_loss, SIZE, train_records, eval_records)
+
+
+def run_arms(args, base, box_loss, SIZE, train_records, eval_records):
     t0 = time.time()
     state = train(
         base,
@@ -118,8 +129,8 @@ def main() -> None:
         checkpoint=False,
         log_fn=lambda m: print(json.dumps(m), flush=True),
     )
-    print(f"# trained {args.steps} steps in {time.time() - t0:.0f}s",
-          flush=True)
+    print(f"# [{box_loss}] trained {args.steps} steps in "
+          f"{time.time() - t0:.0f}s", flush=True)
     state = jax.device_get(state)
     variables = {"params": state.ema_params,
                  "batch_stats": state.batch_stats}
@@ -145,7 +156,7 @@ def main() -> None:
                           prn_variables=prn_variables, image_size=SIZE),
                 eval_records,
             )
-            print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "vote": vote, "soft_sigma": sigma, "box_loss": args.box_loss},
+            print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "vote": vote, "soft_sigma": sigma, "box_loss": box_loss},
                               "e2e_512": stats}), flush=True)
 
         # GT-box PRN protocol (vote-independent).
@@ -158,7 +169,7 @@ def main() -> None:
                                score=1.0)
                    for p in range(len(rec["boxes"]))]
             ev.add_image(record_ground_truths(rec), dts)
-        print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "protocol": "gtbox", "box_loss": args.box_loss},
+        print(json.dumps({"arm": {"margin": margin, "jitter": jitter, "protocol": "gtbox", "box_loss": box_loss},
                           "gtbox_512": ev.summarize()}), flush=True)
 
 

@@ -122,6 +122,12 @@ class DetectorConfig:
     focal_gamma: float = 2.0
     # Box regression loss weight.
     box_loss_weight: float = 50.0
+    # Pose-level OKS NMS after the PRN (ops/pose_nms.py): > 0 suppresses
+    # detections whose keypoints duplicate a higher-scoring detection's
+    # (OKS above this threshold, evaluator convention). The dedup
+    # complement to soft-NMS: decayed duplicate BOXES snap to the same
+    # peaks and become duplicate POSES. 0 = off (reference behavior).
+    pose_nms_oks: float = 0.0
     # Gaussian soft-NMS (Bodla et al. 2017): sigma > 0 replaces hard
     # suppression with exp(-IoU²/σ) score decay, keeping genuinely-
     # overlapping people alive in crowds (nms_iou_threshold is unused in

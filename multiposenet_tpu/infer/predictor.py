@@ -26,6 +26,7 @@ from multiposenet_tpu.config import Config
 from multiposenet_tpu.models.posenet import MultiPoseNet
 from multiposenet_tpu.models.prn import PRN
 from multiposenet_tpu.ops import decode as decode_ops
+from multiposenet_tpu.ops import pose_nms as pose_nms_ops
 from multiposenet_tpu.ops import prn_ops
 from multiposenet_tpu.ops.decode_pallas import (
     decode_heatmaps_pallas,
@@ -282,10 +283,16 @@ class Predictor:
         )
         # Heatmap coords → model-input coords.
         keypoints = keypoints.at[..., :2].multiply(stride)
+        box_valid = detections.valid
+        if cfg.detector.pose_nms_oks > 0.0:
+            box_valid = pose_nms_ops.pose_nms(
+                keypoints, detections.boxes, box_valid,
+                cfg.detector.pose_nms_oks,
+            )
         return {
             "boxes": detections.boxes,
             "box_scores": detections.scores,
-            "box_valid": detections.valid,
+            "box_valid": box_valid,
             "keypoints": keypoints,
             "scale": scale,
         }
@@ -477,10 +484,16 @@ class Predictor:
             prn_variables, hm_cm, hm_boxes, peaks
         )
         keypoints = keypoints.at[..., :2].multiply(stride)
+        box_valid = detections.valid
+        if cfg.detector.pose_nms_oks > 0.0:
+            box_valid = pose_nms_ops.pose_nms(
+                keypoints, detections.boxes, box_valid,
+                cfg.detector.pose_nms_oks,
+            )
         return {
             "boxes": detections.boxes,
             "box_scores": detections.scores,
-            "box_valid": detections.valid,
+            "box_valid": box_valid,
             "keypoints": keypoints,
             "peak_positions": peaks.positions * stride,
             "peak_scores": peaks.scores,
