@@ -65,6 +65,19 @@ VARIANTS = {
     "tailvote": {"model": {"kp_tail_pallas": True},
                  "detector": {"nms_vote_iou": 0.75},
                  "prn": {"crop_margin": 0.1}},
+    # Config.crowd()'s exact inference graph (soft-NMS + vote + margin +
+    # 12 person slots; giou is train-only) — the preset's README
+    # throughput claim.
+    "crowdpreset": {"detector": {"soft_nms_sigma": 0.5,
+                                 "nms_vote_iou": 0.75,
+                                 "max_detections": 12},
+                    "prn": {"crop_margin": 0.1, "max_persons": 12}},
+    # crowd + pose-NMS (ops/pose_nms.py): the dedup knob's perf cost.
+    "crowdposenms": {"detector": {"soft_nms_sigma": 0.5,
+                                  "nms_vote_iou": 0.75,
+                                  "max_detections": 12,
+                                  "pose_nms_oks": 0.9},
+                     "prn": {"crop_margin": 0.1, "max_persons": 12}},
 }
 
 

@@ -1,0 +1,187 @@
+"""PRN trained on DETECTOR windows instead of exact GT boxes (128² A/B).
+
+The PRN trains on exact GT windows but runs on noisy detector windows.
+`prn.window_jitter` closes that gap with isotropic noise and wins on
+sparse scenes, but COLLAPSES the crowd GT-box protocol (NOTES_r3.md):
+random jitter in a crowd pulls neighbors' peaks into the crop. The
+principled fix is the classic two-stage recipe: train the PRN on the
+detector's OWN proposals (matched to GT persons by IoU), which carry
+the detector's real error distribution — person-specific even in
+crowds, systematic rather than isotropic.
+
+Data-side transform only: run the cached main model over the training
+records, replace each matched person's GT box with its detection box
+(unmatched persons keep GT), train a fresh PRN on the modified records
+through the unchanged train_prn(). Arms per model:
+
+  gt    — fresh GT-box PRN (the shipped recipe, fair same-seed baseline)
+  det   — detector windows (IoU ≥ 0.5 matched)
+  mix   — records duplicated: one GT copy + one det copy (50/50)
+
+Each PRN evaluates e2e under ship NMS and under the crowd composition
+(soft σ=0.5 + vote 0.75), plus the GT-box protocol.
+
+Usage: python benchmarks/ab/detprn_ab.py [--sparse]
+"""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
+import dataclasses
+import json
+import os
+import pickle
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+import numpy as np
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from snap_ab import base_config
+from multiposenet_tpu.data.loader import batch_iterator
+from multiposenet_tpu.data.synthetic import make_dataset
+from multiposenet_tpu.eval.oks import DetectionKP, KeypointEvaluator
+from multiposenet_tpu.eval.runner import (
+    evaluate_predictor,
+    record_ground_truths,
+)
+from multiposenet_tpu.infer.predictor import Predictor
+from multiposenet_tpu.train import prn_train
+
+SIZE = 128
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU matrix [len(a), len(b)] for (y0, x0, y1, x1) boxes."""
+    y0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    x0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    y1 = np.minimum(a[:, None, 2], b[None, :, 2])
+    x1 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(y1 - y0, 0, None) * np.clip(x1 - x0, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
+
+def detector_window_records(records, predictor, iou_thresh=0.5):
+    """Copy of `records` with matched GT boxes replaced by detections.
+
+    Greedy one-to-one: detections sorted by score claim their best
+    unclaimed GT with IoU ≥ iou_thresh. Unmatched persons keep GT boxes
+    (the PRN must still learn them; the detector will find them later
+    in training than day one).
+    """
+    out, n_matched, n_total = [], 0, 0
+    for rec in records:
+        people = predictor.predict(rec["image"])
+        gt = np.asarray(rec["boxes"], np.float32)
+        boxes = gt.copy()
+        n_total += len(gt)
+        if people:
+            det = np.stack([p.box for p in people]).astype(np.float32)
+            order = np.argsort([-p.score for p in people])
+            iou = box_iou(det, gt)
+            claimed = np.zeros(len(gt), bool)
+            for d in order:
+                cand = np.where(~claimed & (iou[d] >= iou_thresh))[0]
+                if len(cand):
+                    g = cand[np.argmax(iou[d][cand])]
+                    claimed[g] = True
+                    boxes[g] = det[d]
+                    n_matched += 1
+        r = dict(rec)
+        r["boxes"] = boxes
+        r["area"] = ((boxes[:, 2] - boxes[:, 0])
+                     * (boxes[:, 3] - boxes[:, 1])).astype(np.float32)
+        out.append(r)
+    print(f"# matched {n_matched}/{n_total} persons to detector windows",
+          flush=True)
+    return out
+
+
+def train_fresh_prn(cfg, records, steps=300):
+    state = prn_train.train_prn(
+        cfg,
+        batch_iterator(records, cfg.train.batch_size, SIZE,
+                       cfg.prn.max_persons, train=True, augment=False),
+        num_steps=steps,
+        log_fn=lambda m: None,
+    )
+    return jax.device_get(state.params)
+
+
+def evaluate_arm(tag, arm, cfg0, variables, prn_variables, eval_records):
+    for bname, base in (("ship", {}),
+                        ("soft+vote", {"soft_nms_sigma": 0.5,
+                                       "nms_vote_iou": 0.75})):
+        cfg = cfg0.replace(detector=dataclasses.replace(
+            cfg0.detector, **base))
+        predictor = Predictor(config=cfg, variables=variables,
+                              prn_variables=prn_variables, image_size=SIZE)
+        s = evaluate_predictor(predictor, eval_records)
+        print(json.dumps({"model": tag, "arm": arm, "base": bname,
+                          "e2e_AP": s["AP"], "e2e_AP50": s["AP50"],
+                          "e2e_AP75": s["AP75"], "AR": s.get("AR")}),
+              flush=True)
+    # GT-box protocol (NMS-independent).
+    predictor = Predictor(config=cfg0, variables=variables,
+                          prn_variables=prn_variables, image_size=SIZE)
+    ev = KeypointEvaluator()
+    for rec in eval_records:
+        kps = predictor.predict_given_boxes(rec["image"], rec["boxes"])
+        ev.add_image(record_ground_truths(rec),
+                     [DetectionKP(keypoints=kps[p].astype(np.float32),
+                                  score=1.0)
+                      for p in range(len(rec["boxes"]))])
+    s = ev.summarize()
+    print(json.dumps({"model": tag, "arm": arm, "base": "gtbox",
+                      "AP": s["AP"], "AP75": s["AP75"]}), flush=True)
+
+
+def main() -> None:
+    sparse = "--sparse" in _sys.argv
+    cfg0 = base_config()
+    lo, hi = (1, 4) if sparse else (5, 9)
+    if not sparse:
+        cfg0 = cfg0.replace(
+            prn=dataclasses.replace(cfg0.prn, max_persons=12),
+            detector=dataclasses.replace(cfg0.detector, max_detections=12),
+        )
+    train_records = make_dataset(128, img_h=SIZE, img_w=SIZE,
+                                 min_persons=lo, max_persons=hi, seed=0)
+    eval_records = make_dataset(64, img_h=SIZE, img_w=SIZE,
+                                min_persons=lo, max_persons=hi, seed=999)
+    models = ([("sparse_giou_s0", "/tmp/ab_giou_giou_w5_s0.pkl")] if sparse
+              else [("crowd_giou_s0", "/tmp/ab_crowd_giou_w5.pkl"),
+                    ("crowd_giou_s11", "/tmp/ab_crowd_giou_w5_s11.pkl")])
+    for tag, path in models:
+        with open(path, "rb") as f:
+            variables, _ = pickle.load(f)
+        # Proposal generation uses the crowd composition (its windows are
+        # the ones the shipped crowd preset will hand the PRN at test).
+        prop_cfg = cfg0.replace(detector=dataclasses.replace(
+            cfg0.detector, soft_nms_sigma=0.5, nms_vote_iou=0.75))
+        # Bootstrap predictor for proposals reuses the GT-trained PRN from
+        # the cache only to satisfy the Predictor API — boxes come from
+        # the detector head, the PRN output is ignored.
+        with open(path, "rb") as f:
+            _, boot_prn = pickle.load(f)
+        boot = Predictor(config=prop_cfg, variables=variables,
+                         prn_variables=boot_prn, image_size=SIZE)
+        det_records = detector_window_records(train_records, boot)
+
+        arms = {
+            "gt": train_records,
+            "det": det_records,
+            "mix": train_records + det_records,
+        }
+        for arm, recs in arms.items():
+            prn_vars = train_fresh_prn(cfg0, recs)
+            evaluate_arm(tag, arm, cfg0, variables, prn_vars, eval_records)
+
+
+if __name__ == "__main__":
+    main()
