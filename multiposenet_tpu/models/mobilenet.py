@@ -476,9 +476,12 @@ class MobileNetV1(nn.Module):
             out = max(self.min_channels, _make_divisible(c * self.width))
             if self.max_channels:
                 out = min(out, self.max_channels)
-            cap = self.stage_caps[
-                min(max(stride.bit_length() - 3, 0), 3)
-            ]
+            if stride < 4:
+                # stage_caps[0] is the STRIDE-4 cap; layers above stride 4
+                # (the stride-2 stem + block_0 when stem_stride=2) are
+                # uncapped rather than silently borrowing it.
+                return out
+            cap = self.stage_caps[min(stride.bit_length() - 3, 3)]
             return min(out, cap) if cap else out
 
         assert self.stem_stride in (2, 4), self.stem_stride

@@ -67,3 +67,20 @@ class PRN(nn.Module):
             # Per-channel spatial softmax over the (lane-minor) crop grid.
             out = jax.nn.softmax(out, axis=-1)
         return out
+
+
+def migrate_param_keys(variables: dict) -> dict:
+    """Rename PRN Dense keys `hidden`/`out` → `hidden_cm`/`out_cm`.
+
+    ONLY for checkpoints trained AFTER the round-2 channel-major flatten
+    change but BEFORE the layout-versioned rename (ADVICE r3): those weights
+    are correct for the current layout and differ only in param-tree key
+    names. Checkpoints trained against the row-major layout must NOT be
+    migrated — their weights are permuted; retrain instead. No-op if the
+    keys are already current.
+    """
+    params = dict(variables.get("params", {}))
+    for old, new in (("hidden", "hidden_cm"), ("out", "out_cm")):
+        if old in params and new not in params:
+            params[new] = params.pop(old)
+    return {**variables, "params": params}

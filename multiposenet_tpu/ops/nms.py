@@ -120,7 +120,12 @@ def nms(
     _, out_idx, out_scores, out_boxes = jax.lax.fori_loop(
         0, max_out, body, init
     )
-    valid = out_idx >= 0
+    # Soft mode never drives scores to -inf, so `picked` stays true once
+    # real candidates run out and score-0 padding slots would report
+    # valid=True. Mask by score > 0 so the documented contract ("unselected
+    # slots have score 0 and valid False") holds in both modes regardless
+    # of the caller (sigmoid scores of real candidates are > 0).
+    valid = (out_idx >= 0) & (out_scores > 0.0)
     return out_boxes, out_scores, valid
 
 
