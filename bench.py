@@ -39,10 +39,16 @@ def _backend_ready(retries: int = 3, backoff_s: float = 60.0,
     subprocess probe is; if it succeeds the main process init is safe.
     CPU-only runs (JAX_PLATFORMS=cpu) pass the probe trivially.
     """
+    probe_src = (
+        "import os, jax\n"
+        "if 'cpu' in os.environ.get('JAX_PLATFORMS', ''):\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()\n"
+    )
     for attempt in range(1, retries + 1):
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", probe_src],
                 timeout=probe_timeout_s, capture_output=True,
             )
             if r.returncode == 0:
@@ -58,8 +64,15 @@ def _backend_ready(retries: int = 3, backoff_s: float = 60.0,
 
 
 def _enable_compile_cache() -> None:
+    import os
+
     import jax
 
+    # Honor an explicit CPU request (judged config 1 runs on CPU per
+    # BASELINE.json:7): the axon PJRT plugin re-injects itself into
+    # jax_platforms at import, so the env var alone is not enough.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -150,10 +150,17 @@ def main() -> None:
             prn=dataclasses.replace(cfg0.prn, max_persons=12),
             detector=dataclasses.replace(cfg0.detector, max_detections=12),
         )
+    # Pin fixtures v1: the cached /tmp model weights were trained on v1;
+    # evaluating them on the round-4 v2 default would measure the
+    # distribution mismatch, not the PRN recipe (measured: AP drops to
+    # 0.03 across ALL arms on mismatched fixtures — NOTES_r4.md).
+    v1 = dict(style="v1", min_size=0.2, max_size=0.6)
     train_records = make_dataset(128, img_h=SIZE, img_w=SIZE,
-                                 min_persons=lo, max_persons=hi, seed=0)
+                                 min_persons=lo, max_persons=hi, seed=0,
+                                 **v1)
     eval_records = make_dataset(64, img_h=SIZE, img_w=SIZE,
-                                min_persons=lo, max_persons=hi, seed=999)
+                                min_persons=lo, max_persons=hi, seed=999,
+                                **v1)
     models = ([("sparse_giou_s0", "/tmp/ab_giou_giou_w5_s0.pkl")] if sparse
               else [("crowd_giou_s0", "/tmp/ab_crowd_giou_w5.pkl"),
                     ("crowd_giou_s11", "/tmp/ab_crowd_giou_w5_s11.pkl")])

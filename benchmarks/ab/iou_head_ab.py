@@ -1,0 +1,180 @@
+"""A/B: IoU-aware box scoring head (DetectorConfig.iou_head) on crowds.
+
+Round-4 error attribution (NOTES_r4.md): ~36% of crowd GT is lost to box
+quality — `poor_box` 0.20 (a detection touches but IoU < 0.5) plus
+`bad_kps` 0.16 at mean match IoU 0.60 (sloppy boxes crop the PRN window
+off the person). The IoU head predicts each anchor's localization quality
+and rescoring NMS by sigmoid(cls)·sigmoid(iou)^p lets the best-LOCALIZED
+candidate win instead of the most-confident one.
+
+Arms (each a full 500-step train → PRN → eval at 128², fixtures v2 —
+this knob has no cached-weight dependency, so it measures on the round-4
+gate distribution):
+
+  base — iou_head off (crowd-recipe baseline: giou w5)
+  iouh — iou_head on, trained with iou_loss_weight 1.0
+
+Per arm, eval under ship NMS and the crowd composition (soft σ=0.5 +
+vote 0.75); iou_score_power swept {0.5, 1, 2} EVAL-ONLY (the power only
+changes the inference rescoring); GT-box protocol (box-independent
+control — must be flat); error-attribution classes (poor_box/bad_kps
+must shrink if the mechanism is right).
+
+Usage: python benchmarks/ab/iou_head_ab.py [--seeds 0,11] [--sparse]
+"""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
+import argparse
+import collections
+import dataclasses
+import json
+import os
+import pickle
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+from snap_ab import base_config
+from error_attrib import attribute_scene
+from multiposenet_tpu.data.loader import batch_iterator
+from multiposenet_tpu.data.synthetic import make_dataset
+from multiposenet_tpu.eval.oks import DetectionKP, KeypointEvaluator
+from multiposenet_tpu.eval.runner import (
+    evaluate_predictor,
+    record_ground_truths,
+)
+from multiposenet_tpu.infer.predictor import Predictor
+from multiposenet_tpu.train import prn_train
+from multiposenet_tpu.train.loop import train
+
+SIZE = 128
+
+ARMS = [
+    ("base", {}),
+    ("iouh", {"iou_head": True, "iou_loss_weight": 1.0}),
+]
+NMS_ARMS = [("ship", {}),
+            ("soft+vote", {"soft_nms_sigma": 0.5, "nms_vote_iou": 0.75})]
+POWERS = (0.5, 1.0, 2.0)
+
+
+def crowd_config(seed_off: int, det_overrides: dict):
+    cfg = base_config()
+    return cfg.replace(
+        detector=dataclasses.replace(
+            cfg.detector, box_loss="giou", giou_loss_weight=5.0,
+            max_detections=12, **det_overrides),
+        prn=dataclasses.replace(cfg.prn, max_persons=12),
+        train=dataclasses.replace(cfg.train,
+                                  seed=cfg.train.seed + seed_off),
+    )
+
+
+def get_weights(tag: str, cfg, train_records):
+    cache = f"/tmp/ab_iouh_{tag}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+    t0 = time.time()
+    state = train(
+        cfg,
+        batch_iterator(train_records, cfg.train.batch_size, SIZE,
+                       cfg.prn.max_persons, train=True),
+        checkpoint=False,
+        log_fn=lambda m: None,
+    )
+    state = jax.device_get(state)
+    variables = {"params": state.ema_params,
+                 "batch_stats": state.batch_stats}
+    prn_state = prn_train.train_prn(
+        cfg,
+        batch_iterator(train_records, cfg.train.batch_size, SIZE,
+                       cfg.prn.max_persons, train=True, augment=False),
+        num_steps=300,
+        log_fn=lambda m: None,
+    )
+    prn_variables = jax.device_get(prn_state.params)
+    print(f"# [{tag}] trained in {time.time() - t0:.0f}s", flush=True)
+    with open(cache, "wb") as f:
+        pickle.dump((variables, prn_variables), f)
+    return variables, prn_variables
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="0,11")
+    ap.add_argument("--sparse", action="store_true",
+                    help="1-4-person scenes instead of 5-9 (regression "
+                         "check: the knob must not hurt sparse)")
+    args = ap.parse_args()
+    lo, hi = (1, 4) if args.sparse else (5, 9)
+    dens = "sparse" if args.sparse else "crowd"
+
+    train_records = make_dataset(128, img_h=SIZE, img_w=SIZE,
+                                 min_persons=lo, max_persons=hi, seed=0)
+    eval_records = make_dataset(64, img_h=SIZE, img_w=SIZE,
+                                min_persons=lo, max_persons=hi, seed=999)
+
+    for seed_off in [int(s) for s in args.seeds.split(",")]:
+        for arm, det_over in ARMS:
+            cfg = crowd_config(seed_off, det_over)
+            tag = f"{dens}_{arm}_s{seed_off}"
+            variables, prn_variables = get_weights(tag, cfg, train_records)
+
+            powers = POWERS if det_over.get("iou_head") else (1.0,)
+            for power in powers:
+                cfg_p = cfg.replace(detector=dataclasses.replace(
+                    cfg.detector, iou_score_power=power))
+                for nname, nover in NMS_ARMS:
+                    cfg_n = cfg_p.replace(detector=dataclasses.replace(
+                        cfg_p.detector, **nover))
+                    predictor = Predictor(config=cfg_n, variables=variables,
+                                          prn_variables=prn_variables,
+                                          image_size=SIZE)
+                    stats = evaluate_predictor(predictor, eval_records)
+                    attr = collections.Counter()
+                    for rec in eval_records:
+                        attr += attribute_scene(
+                            predictor.predict(rec["image"]), rec)
+                    gt_n = max(attr["gt_total"], 1)
+                    print(json.dumps({
+                        "tag": tag, "arm": arm, "power": power,
+                        "nms": nname, "e2e_AP": stats["AP"],
+                        "e2e_AP50": stats["AP50"],
+                        "e2e_AP75": stats["AP75"], "AR": stats.get("AR"),
+                        "poor_box_rate": round(attr["poor_box"] / gt_n, 3),
+                        "bad_kps_rate": round(attr["bad_kps"] / gt_n, 3),
+                        "ok_rate": round(attr["ok"] / gt_n, 3),
+                    }), flush=True)
+
+            # GT-box protocol: box-independent control, must be flat.
+            predictor = Predictor(config=cfg, variables=variables,
+                                  prn_variables=prn_variables,
+                                  image_size=SIZE)
+            ev = KeypointEvaluator()
+            for rec in eval_records:
+                kps = predictor.predict_given_boxes(rec["image"],
+                                                    rec["boxes"])
+                ev.add_image(
+                    record_ground_truths(rec),
+                    [DetectionKP(keypoints=kps[p].astype(np.float32),
+                                 score=1.0)
+                     for p in range(len(rec["boxes"]))],
+                )
+            s = ev.summarize()
+            print(json.dumps({"tag": tag, "arm": arm, "protocol": "gtbox",
+                              "AP": s["AP"], "AP75": s["AP75"]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,19 @@ class DetectorConfig:
     # O(1) while Huber on deltas is O(delta^2)).
     box_loss: str = "huber"
     giou_loss_weight: float = 2.0
+    # IoU-aware scoring head (round-4 knob, default OFF): one extra A-ch
+    # conv on the box tower predicts each anchor's localization quality
+    # (IoU of its decoded box vs the matched GT, BCE on positives); at
+    # inference the NMS ranking score becomes
+    # sigmoid(cls) * sigmoid(iou)^iou_score_power, so the best-LOCALIZED
+    # box wins NMS instead of the most-confident one. Motivated by the
+    # round-4 error attribution: ~36% of crowd GT is lost to box quality
+    # (poor_box 0.20 + bad_kps at mean match IoU 0.60 — NOTES_r4.md);
+    # A/B: benchmarks/ab/iou_head_ab.py. Structural knob: changes the
+    # param tree (checkpoint format) when enabled.
+    iou_head: bool = False
+    iou_loss_weight: float = 1.0
+    iou_score_power: float = 1.0
     # Matching thresholds for anchor assignment.
     match_high: float = 0.5
     match_low: float = 0.4

@@ -60,6 +60,7 @@ class Predictor:
         use_pallas_decode: bool | None = None,
         fold_bn: bool = False,
         flip_tta: bool = False,
+        pallas_interpret: bool = False,
     ):
         self.config = config or Config()
         self.image_size = image_size or self.config.train.image_size
@@ -115,6 +116,10 @@ class Predictor:
                 jax.default_backend() == "tpu" and hm % 128 == 0
             )
         self.use_pallas_decode = use_pallas_decode
+        # interpret=True runs the Pallas kernels as traced jax ops — the
+        # CPU-mesh validation path (dryrun_multichip / test_sharding) for
+        # the kernel layouts the shipped TPU config uses.
+        self.pallas_interpret = pallas_interpret
         self.flip_tta = flip_tta
         self._kp_forward = jax.jit(self._kp_forward_impl)
         self._full_forward = jax.jit(self._full_forward_impl)
@@ -132,7 +137,8 @@ class Predictor:
             # halves; the kernel recasts to f32 in VMEM.
             dtype = jnp.dtype(self.config.model.compute_dtype)
             return decode_heatmaps_pallas(heatmaps.astype(dtype),
-                                          self.config.decode)
+                                          self.config.decode,
+                                          interpret=self.pallas_interpret)
         return decode_ops.decode_heatmaps(heatmaps, self.config.decode)
 
     def _decode_cm(self, heatmaps: jnp.ndarray, hm_cm: jnp.ndarray):
@@ -141,7 +147,8 @@ class Predictor:
         if self.use_pallas_decode:
             b, k, h, w = hm_cm.shape
             return decode_heatmaps_pallas_t(
-                hm_cm.reshape(b * k, h, w), (b, k), self.config.decode
+                hm_cm.reshape(b * k, h, w), (b, k), self.config.decode,
+                interpret=self.pallas_interpret,
             )
         return decode_ops.decode_heatmaps(heatmaps, self.config.decode)
 

@@ -33,6 +33,9 @@ class DetectorHead(nn.Module):
     channels: int = 128
     num_convs: int = 4
     prior_prob: float = 0.01
+    # IoU-aware scoring: extra A-channel conv on the box tower predicting
+    # localization quality (DetectorConfig.iou_head).
+    with_iou: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,6 +65,13 @@ class DetectorHead(nn.Module):
             self.anchors_per_cell * 4, (3, 3), padding="SAME",
             dtype=self.dtype, name="box_out",
         )
+        if self.with_iou:
+            # Zero-ish init bias → sigmoid ≈ 0.5: neutral quality estimate
+            # at step 0 so early NMS ranking matches the plain head.
+            iou_out = nn.Conv(
+                self.anchors_per_cell, (3, 3), padding="SAME",
+                dtype=self.dtype, name="iou_out",
+            )
 
         outputs: dict[str, dict[str, jnp.ndarray]] = {}
         for level in range(self.min_level, self.max_level + 1):
@@ -72,8 +82,8 @@ class DetectorHead(nn.Module):
             b = x
             for conv in box_convs:
                 b = nn.relu(conv(b))
-            outputs[f"P{level}"] = {
-                "cls": cls_out(c),
-                "box": box_out(b),
-            }
+            out = {"cls": cls_out(c), "box": box_out(b)}
+            if self.with_iou:
+                out["iou"] = iou_out(b)  # rides the box tower features
+            outputs[f"P{level}"] = out
         return outputs

@@ -93,6 +93,7 @@ class MultiPoseNet(nn.Module):
                 ),
                 channels=cfg.detector.head_channels,
                 num_convs=cfg.detector.num_convs,
+                with_iou=cfg.detector.iou_head,
                 dtype=dtype,
                 name="detector_head",
             )

@@ -59,6 +59,24 @@ def flatten_outputs(
     )
 
 
+def flatten_iou_outputs(
+    detector_out: dict[str, dict[str, jnp.ndarray]],
+    min_level: int,
+    max_level: int,
+) -> jnp.ndarray:
+    """Per-level iou[B, H, W, A] logits → [B, N], same order as
+    `flatten_outputs` (present only with DetectorConfig.iou_head)."""
+    return jnp.concatenate(
+        [
+            detector_out[f"P{level}"]["iou"].reshape(
+                detector_out[f"P{level}"]["iou"].shape[0], -1
+            )
+            for level in range(min_level, max_level + 1)
+        ],
+        axis=1,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "image_size")
 )
@@ -75,15 +93,29 @@ def postprocess_detections(
     deltas = deltas.astype(jnp.float32)
     anchors = jnp.asarray(all_anchors(image_size, config))
 
-    # Pre-NMS top-k on logits (monotonic with sigmoid scores). The exact
-    # top_k sort over ~49k anchors costs ~6 ms at bs=64 on v5e; the
-    # bucketed approx_max_k halves that and only perturbs membership at
-    # the pool tail, which NMS (max_detections << k) never reaches.
-    k = min(config.pre_nms_top_k, logits.shape[1])
-    if config.approx_top_k:
-        top_logits, top_idx = jax.lax.approx_max_k(logits, k)
+    # IoU-aware scoring (config.iou_head): the ranking score becomes
+    # sigmoid(cls) * sigmoid(iou)^p so the best-LOCALIZED candidate wins
+    # NMS. log-space keeps the top-k operand monotone with that product:
+    # log_sigmoid(cls) + p * log_sigmoid(iou).
+    if config.iou_head and "iou" in detector_out[f"P{config.min_level}"]:
+        iou_logits = flatten_iou_outputs(
+            detector_out, config.min_level, config.max_level
+        ).astype(jnp.float32)
+        rank = (jax.nn.log_sigmoid(logits)
+                + config.iou_score_power * jax.nn.log_sigmoid(iou_logits))
     else:
-        top_logits, top_idx = jax.lax.top_k(logits, k)  # [B, k]
+        rank = logits
+
+    # Pre-NMS top-k on the ranking operand (monotonic with the final
+    # score). The exact top_k sort over ~49k anchors costs ~6 ms at bs=64
+    # on v5e; the bucketed approx_max_k halves that and only perturbs
+    # membership at the pool tail, which NMS (max_detections << k) never
+    # reaches.
+    k = min(config.pre_nms_top_k, rank.shape[1])
+    if config.approx_top_k:
+        top_rank, top_idx = jax.lax.approx_max_k(rank, k)
+    else:
+        top_rank, top_idx = jax.lax.top_k(rank, k)  # [B, k]
     top_deltas = jnp.take_along_axis(
         deltas, top_idx[..., None], axis=1
     )
@@ -93,7 +125,11 @@ def postprocess_detections(
     decoded = box_ops.clip_to_image(
         decoded, float(image_size), float(image_size)
     )
-    scores = jax.nn.sigmoid(top_logits)
+    if rank is logits:
+        scores = jax.nn.sigmoid(top_rank)
+    else:
+        # top_rank is the log of the combined score.
+        scores = jnp.exp(top_rank)
     # Zero out candidates below the score threshold before NMS.
     scores = jnp.where(scores >= config.score_threshold, scores, 0.0)
 

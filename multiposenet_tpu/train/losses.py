@@ -99,6 +99,40 @@ def box_giou_loss(
     return jnp.sum(loss) / jnp.maximum(jnp.sum(pos), 1.0)
 
 
+def iou_pred_loss(
+    iou_logits: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    target_boxes: jnp.ndarray,
+    cls_target: jnp.ndarray,
+) -> jnp.ndarray:
+    """IoU-aware scoring head loss (DetectorConfig.iou_head).
+
+    BCE between sigmoid(iou_logits) and the ACTUAL IoU of each positive
+    anchor's decoded box vs its matched GT (target stop-gradded: the iou
+    head learns to estimate the regressor, not to move it). Positives
+    only, normalized by positive count. iou_logits [B, N], boxes
+    [B, N, 4], cls_target [B, N] in {1, 0, -1}.
+    """
+    iy0 = jnp.maximum(pred_boxes[..., 0], target_boxes[..., 0])
+    ix0 = jnp.maximum(pred_boxes[..., 1], target_boxes[..., 1])
+    iy1 = jnp.minimum(pred_boxes[..., 2], target_boxes[..., 2])
+    ix1 = jnp.minimum(pred_boxes[..., 3], target_boxes[..., 3])
+    inter = jnp.maximum(iy1 - iy0, 0.0) * jnp.maximum(ix1 - ix0, 0.0)
+    area_p = jnp.maximum(
+        pred_boxes[..., 2] - pred_boxes[..., 0], 0.0
+    ) * jnp.maximum(pred_boxes[..., 3] - pred_boxes[..., 1], 0.0)
+    area_t = jnp.maximum(
+        target_boxes[..., 2] - target_boxes[..., 0], 0.0
+    ) * jnp.maximum(target_boxes[..., 3] - target_boxes[..., 1], 0.0)
+    iou = inter / jnp.maximum(area_p + area_t - inter, 1e-8)
+    iou = jax.lax.stop_gradient(jnp.clip(iou, 0.0, 1.0))
+
+    pos = cls_target == 1.0
+    bce = optax.sigmoid_binary_cross_entropy(iou_logits, iou)
+    bce = jnp.where(pos, bce, 0.0)
+    return jnp.sum(bce) / jnp.maximum(jnp.sum(pos), 1.0)
+
+
 def box_huber_loss(
     pred_deltas: jnp.ndarray,
     target_deltas: jnp.ndarray,

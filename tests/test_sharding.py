@@ -109,3 +109,42 @@ def test_batch_runner_fold_input_norm():
         np.asarray(out["keypoints"]), np.asarray(single["keypoints"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_shipped_layouts_sharded_parity():
+    """VERDICT r3 #6: the fast() operating point's inference layouts —
+    s4-flat host staging + the Pallas decode kernel (interpret mode off
+    TPU) at a lane-aligned map size (512² image → 128² stride-4 maps) —
+    under the 8-device mesh, sharded == single-device."""
+    from multiposenet_tpu.config import TrainConfig
+    from multiposenet_tpu.ops.image import space_to_depth_flat4
+
+    cfg = Config(
+        model=ModelConfig(backbone_width=0.25, fpn_channels=32,
+                          head_channels=32, kp_head_convs=1,
+                          kp_smooth_pyramid=False, kp_p2_late=True,
+                          stem_stride=4, fold_input_norm=True,
+                          backbone_max_channels=64),
+        detector=DetectorConfig(pre_nms_top_k=64, max_detections=4,
+                                score_threshold=0.0),
+        prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=32,
+                      max_persons=4),
+        decode=DecodeConfig(max_peaks_per_channel=4),
+        train=TrainConfig(image_size=512, batch_size=8),
+    )
+    predictor = Predictor(config=cfg, image_size=512,
+                          use_pallas_decode=True, pallas_interpret=True)
+    mesh = mesh_lib.make_mesh()
+    staged = space_to_depth_flat4(
+        np.random.RandomState(2).randint(
+            0, 255, (8, 512, 512, 3), dtype=np.uint8
+        )
+    )
+    out = predictor.make_batch_runner(mesh)(staged)
+    single = predictor._batch_forward_impl(
+        predictor.variables, predictor.prn_variables, jnp.asarray(staged)
+    )
+    kp_sh = np.asarray(out["keypoints"])
+    kp_1 = np.asarray(single["keypoints"])
+    assert np.isfinite(kp_sh).all()
+    np.testing.assert_allclose(kp_sh, kp_1, rtol=1e-5, atol=1e-4)

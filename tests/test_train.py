@@ -92,9 +92,12 @@ def test_train_step_sharded_over_mesh():
     _, m_plain = plain_step(state, batch)
     new_state, m_shard = sharded_step(s_state, s_batch)
 
+    # rtol: the 8-way psum reduces in a different order than the
+    # single-device sum; f32 divergence measured up to ~3e-4 relative on
+    # fixtures-v2 batches (was ~1e-5 on v1's more uniform loss surface).
     np.testing.assert_allclose(
         float(m_shard["total_loss"]), float(m_plain["total_loss"]),
-        rtol=1e-4,
+        rtol=1e-3,
     )
     assert int(new_state.step) == 1
 
