@@ -34,6 +34,11 @@ from multiposenet_tpu.config import (
 )
 from multiposenet_tpu.data.loader import batch_iterator
 from multiposenet_tpu.data.synthetic import make_dataset
+import functools as _functools
+# Round-3 harness: recorded numbers + cached /tmp weights are fixtures
+# v1; pin it so the round-4 v2 default can't mismatch (NOTES_r4.md trap).
+make_dataset = _functools.partial(make_dataset, style="v1",
+                                  min_size=0.2, max_size=0.6)
 from multiposenet_tpu.eval.oks import DetectionKP, KeypointEvaluator
 from multiposenet_tpu.eval.runner import record_ground_truths
 from multiposenet_tpu.infer.predictor import Predictor
