@@ -147,6 +147,8 @@ def _device_op_total_ms(run, n_iters: int = 3) -> float | None:
             if e["name"].startswith("jit__batch"):  # whole-program envelope
                 continue
             total_us += e["dur"]
+        if total_us == 0.0:  # no /device streams (CPU backend)
+            return None
         return total_us / 1e3 / n_iters
     except Exception:  # noqa: BLE001 — diagnostics only, never fail the bench
         return None
