@@ -329,12 +329,15 @@ def make_dataset(
                 0.04 * max(b[2] - b[0], b[3] - b[1]) + 1.5
             )
         if style == "v1":
-            kps = np.asarray(kps, np.float32)
+            kps = np.asarray(kps, np.float32).reshape(-1, NUM_KEYPOINTS, 3)
             image = render_scene(kps, img_h, img_w)
         else:
             image, kps = render_scene_occluded(kps, img_h, img_w, widths)
-            kps = np.asarray(kps, np.float32)
-        boxes = np.asarray(boxes, np.float32)
+            kps = np.asarray(kps, np.float32).reshape(-1, NUM_KEYPOINTS, 3)
+        # Every-attempt-rejected scenes (aggressive truncation at small
+        # sizes) must still yield well-shaped empty arrays (ADVICE r4):
+        # np.asarray([]) is (0,), and boxes[:, 2] below would IndexError.
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         n = len(boxes)
         records.append({
             "id": i,
