@@ -480,6 +480,13 @@ class MobileNetV1(nn.Module):
                 # stage_caps[0] is the STRIDE-4 cap; layers above stride 4
                 # (the stride-2 stem + block_0 when stem_stride=2) are
                 # uncapped rather than silently borrowing it.
+                # CHECKPOINT COMPAT (ADVICE r4): this early return changed
+                # channel widths — and hence the param tree — for configs
+                # combining stem_stride=2 with a nonzero stage_caps[0];
+                # checkpoints trained before round 3's fix under that combo
+                # no longer restore. fast() (stem_stride=4) and the
+                # defaults (caps all 0) are unaffected. See README
+                # "Checkpoint format history".
                 return out
             cap = self.stage_caps[min(stride.bit_length() - 3, 3)]
             return min(out, cap) if cap else out

@@ -130,7 +130,13 @@ def postprocess_detections(
     else:
         # top_rank is the log of the combined score.
         scores = jnp.exp(top_rank)
-    # Zero out candidates below the score threshold before NMS.
+    # Zero out candidates below the score threshold before NMS. With
+    # iou_head on, the threshold applies to the COMBINED score
+    # sigmoid(cls)*sigmoid(iou)^p — systematically lower than cls alone
+    # (about half at the zero-init neutral iou bias), so enabling the knob
+    # implicitly tightens the pre-NMS cut; retune score_threshold when
+    # flipping iou_head (ADVICE r4). Thresholding the combined score is
+    # deliberate: it is the quantity NMS ranks and the caller consumes.
     scores = jnp.where(scores >= config.score_threshold, scores, 0.0)
 
     out_boxes, out_scores, valid = batched_nms(
