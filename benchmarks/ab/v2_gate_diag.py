@@ -158,7 +158,8 @@ def gtbox_ap(predictor: Predictor, records: list[dict]) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--style", default="v2", choices=["v1", "v2"])
+    ap.add_argument("--style", default="v2",
+                    choices=["v1", "v2", "v2flat"])
     ap.add_argument("--steps", type=int, default=160)
     ap.add_argument("--prn-steps", type=int, default=80)
     ap.add_argument("--size", type=int, default=96)
@@ -166,6 +167,9 @@ def main():
     ap.add_argument("--eval-images", type=int, default=8)
     ap.add_argument("--min-size", type=float, default=0.3)
     ap.add_argument("--max-size", type=float, default=0.65)
+    ap.add_argument("--overhang", type=float, default=0.35,
+                    help="border-truncation allowance as a fraction of "
+                         "person size (0 = centers stay in frame)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -175,7 +179,8 @@ def main():
         cfg.train, seed=args.seed, log_interval_steps=20))
     kw = dict(img_h=args.size, img_w=args.size, min_persons=1,
               max_persons=2, style=args.style,
-              min_size=args.min_size, max_size=args.max_size)
+              min_size=args.min_size, max_size=args.max_size,
+              overhang=args.overhang)
     records = make_dataset(args.train_images, seed=0, **kw)
     eval_records = make_dataset(args.eval_images, seed=77, **kw)
 

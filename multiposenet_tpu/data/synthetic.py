@@ -135,6 +135,7 @@ def synth_person(
     min_size: float = 0.2,
     max_size: float = 0.6,
     style: str = "v2",
+    overhang: float = 0.35,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One random person → (keypoints[17, 3], box[4] (y0,x0,y1,x1)).
 
@@ -169,11 +170,16 @@ def synth_person(
     center = pts.mean(axis=0)
     pts = (pts - center) @ _rot(theta).T + center
 
-    # Placement: allow the body to overhang any border by up to ~35% of
-    # its size (border truncation).
-    overhang = 0.35 * scale
-    cy = rng.uniform(-overhang, img_h + overhang)
-    cx = rng.uniform(-overhang, img_w + overhang)
+    # Placement: allow the body to overhang any border by up to
+    # `overhang` (default ~35%) of its size (border truncation).
+    # overhang=0.0 keeps persons' centers inside the frame — the
+    # quality-gate operating point (round 5: at gate scale, the default
+    # truncation compounds with occlusion until scenes are unlearnable;
+    # NOTES_r5.md diagnosis arms 1-4). Same rng draw count either way,
+    # so the default stream is unchanged.
+    ov = overhang * scale
+    cy = rng.uniform(-ov, img_h + ov)
+    cx = rng.uniform(-ov, img_w + ov)
     kx = cx + (pts[:, 0] - center[0]) * scale
     ky = cy + (pts[:, 1] - center[1]) * scale
 
@@ -224,13 +230,34 @@ def _silhouette_mask(
     return mask
 
 
+def _blob_level(c: int) -> float:
+    """Per-keypoint blob intensity: (channel, level) uniquely codes c.
+
+    17 keypoint types render into 3 image channels (c % 3); with FLAT
+    intensities a channel-0 blob could be any of 6 joints, and once
+    fixtures v2 freed articulation/rotation there was no rigid-template
+    position prior left to disambiguate — measured round 5 as the red
+    quality gates' root cause (NOTES_r5.md diagnosis arms 1-5: visible-kp
+    peak error ~7 px at 96², oracle-assign AP 0.0, at every scale and
+    truncation setting tried, while v1 stayed green). Six intensity
+    levels on the channel axis (3 x 6 = 18 >= 17 codes) restore LOCALLY
+    readable identity — the property real images have through appearance
+    (a wrist looks like a wrist) — while keeping v2's articulated
+    geometry, truncation, and occlusion ordering.
+    """
+    return 0.55 + 0.45 * (c // 3) / 5.0
+
+
 def render_scene(
-    keypoints: np.ndarray, img_h: int, img_w: int, blob_sigma: float = 3.0
+    keypoints: np.ndarray, img_h: int, img_w: int, blob_sigma: float = 3.0,
+    intensity_coded: bool = True,
 ) -> np.ndarray:
-    """Render persons as bright keypoint blobs on noise → uint8 [H, W, 3].
+    """Render persons as bright keypoint blobs → uint8 [H, W, 3].
 
     The blobs make the scene learnable end-to-end: a trained network can
     locate keypoints, and tests can assert decoded peaks near GT.
+    intensity_coded=False reproduces the round-4 flat-intensity
+    rendering (style "v2flat"/"v1" — kept for A/B continuity).
     """
     yy, xx = np.mgrid[0:img_h, 0:img_w].astype(np.float32)
     canvas = np.zeros((img_h, img_w, 3), np.float32)
@@ -241,6 +268,8 @@ def render_scene(
             g = np.exp(
                 -((yy - y) ** 2 + (xx - x) ** 2) / (2 * blob_sigma**2)
             )
+            if intensity_coded:
+                g = g * _blob_level(c)
             canvas[..., c % 3] = np.maximum(canvas[..., c % 3], g)
     img = canvas * 200.0 + 20.0
     return np.clip(img, 0, 255).astype(np.uint8)
@@ -249,6 +278,7 @@ def render_scene(
 def render_scene_occluded(
     persons: list[np.ndarray], img_h: int, img_w: int,
     widths: list[float], blob_sigma: float = 3.0,
+    intensity_coded: bool = True,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """v2 renderer with inter-person occlusion ordering.
 
@@ -287,6 +317,8 @@ def render_scene_occluded(
             g = np.exp(
                 -((yy - y) ** 2 + (xx - x) ** 2) / (2 * blob_sigma**2)
             )
+            if intensity_coded:
+                g = g * _blob_level(c)
             canvas[..., c % 3] = np.maximum(canvas[..., c % 3], g)
     img = canvas * 200.0 + body[..., None] * 60.0 + 20.0
     return np.clip(img, 0, 255).astype(np.uint8), kps_out
@@ -302,11 +334,15 @@ def make_dataset(
     style: str = "v2",
     min_size: float = 0.15,
     max_size: float = 0.65,
+    overhang: float = 0.35,
 ) -> list[dict]:
     """Deterministic synthetic dataset in the coco.py record layout.
 
-    style="v2" (default): articulated/rotated/truncated/occluded scenes —
-    the fixtures the quality gates run on since round 4. style="v1": the
+    style="v2" (default): articulated/rotated/truncated/occluded scenes
+    with intensity-coded blobs (round 5 — see _blob_level for why flat
+    blobs made the round-4 gates unlearnable). style="v2flat": identical
+    geometry with the round-4 flat-intensity rendering (A/B continuity
+    with the round-5 512² knob grid, which ran on it). style="v1": the
     round-1..3 rigid upright distribution (kept for continuity with
     recorded A/B numbers; pass min_size=0.2, max_size=0.6 to reproduce
     them exactly).
@@ -320,7 +356,8 @@ def make_dataset(
         while len(kps) < n and attempts < n * 8:
             attempts += 1
             k, b = synth_person(rng, img_h, img_w, min_size=min_size,
-                                max_size=max_size, style=style)
+                                max_size=max_size, style=style,
+                                overhang=overhang)
             if (k[:, 2] > 0).sum() < 4:  # too truncated to be a person
                 continue
             kps.append(k)
@@ -328,11 +365,13 @@ def make_dataset(
             widths.append(
                 0.04 * max(b[2] - b[0], b[3] - b[1]) + 1.5
             )
+        coded = style == "v2"
         if style == "v1":
             kps = np.asarray(kps, np.float32).reshape(-1, NUM_KEYPOINTS, 3)
-            image = render_scene(kps, img_h, img_w)
+            image = render_scene(kps, img_h, img_w, intensity_coded=False)
         else:
-            image, kps = render_scene_occluded(kps, img_h, img_w, widths)
+            image, kps = render_scene_occluded(kps, img_h, img_w, widths,
+                                               intensity_coded=coded)
             kps = np.asarray(kps, np.float32).reshape(-1, NUM_KEYPOINTS, 3)
         # Every-attempt-rejected scenes (aggressive truncation at small
         # sizes) must still yield well-shaped empty arrays (ADVICE r4):
