@@ -7,9 +7,12 @@ off the person). The IoU head predicts each anchor's localization quality
 and rescoring NMS by sigmoid(cls)·sigmoid(iou)^p lets the best-LOCALIZED
 candidate win instead of the most-confident one.
 
-Arms (each a full 500-step train → PRN → eval at 128², fixtures v2 —
-this knob has no cached-weight dependency, so it measures on the round-4
-gate distribution):
+Arms (each a full 500-step train → PRN → eval at 128²; --style picks
+the fixture distribution, default v1: the round-4 error attribution
+that motivated this knob was measured on v1 crowds, and the round-4
+"v2" rendering was diagnosed in round 5 as unlearnable (NOTES_r5.md
+arms 1-7) — a box-scoring knob measured on broken heatmaps is noise.
+Pass --style v2 for the round-5 palette-coded default):
 
   base — iou_head off (crowd-recipe baseline: giou w5)
   iouh — iou_head on, trained with iou_loss_weight 1.0
@@ -115,14 +118,23 @@ def main() -> None:
     ap.add_argument("--sparse", action="store_true",
                     help="1-4-person scenes instead of 5-9 (regression "
                          "check: the knob must not hurt sparse)")
+    ap.add_argument("--style", default="v1", choices=["v1", "v2"])
     args = ap.parse_args()
     lo, hi = (1, 4) if args.sparse else (5, 9)
     dens = "sparse" if args.sparse else "crowd"
+    if args.style == "v1":
+        # v1 is the default arena; tags stay round-4-comparable.
+        skw = dict(style="v1", min_size=0.2, max_size=0.6)
+    else:
+        dens += "_v2"
+        skw = dict(style="v2")
 
     train_records = make_dataset(128, img_h=SIZE, img_w=SIZE,
-                                 min_persons=lo, max_persons=hi, seed=0)
+                                 min_persons=lo, max_persons=hi, seed=0,
+                                 **skw)
     eval_records = make_dataset(64, img_h=SIZE, img_w=SIZE,
-                                min_persons=lo, max_persons=hi, seed=999)
+                                min_persons=lo, max_persons=hi, seed=999,
+                                **skw)
 
     for seed_off in [int(s) for s in args.seeds.split(",")]:
         for arm, det_over in ARMS:

@@ -230,34 +230,52 @@ def _silhouette_mask(
     return mask
 
 
-def _blob_level(c: int) -> float:
-    """Per-keypoint blob intensity: (channel, level) uniquely codes c.
+def _make_palette() -> np.ndarray:
+    """[17, 3] distinct RGB color per keypoint type (hue palette).
 
-    17 keypoint types render into 3 image channels (c % 3); with FLAT
-    intensities a channel-0 blob could be any of 6 joints, and once
-    fixtures v2 freed articulation/rotation there was no rigid-template
-    position prior left to disambiguate — measured round 5 as the red
-    quality gates' root cause (NOTES_r5.md diagnosis arms 1-5: visible-kp
-    peak error ~7 px at 96², oracle-assign AP 0.0, at every scale and
-    truncation setting tried, while v1 stayed green). Six intensity
-    levels on the channel axis (3 x 6 = 18 >= 17 codes) restore LOCALLY
-    readable identity — the property real images have through appearance
-    (a wrist looks like a wrist) — while keeping v2's articulated
-    geometry, truncation, and occlusion ordering.
+    Round-4 fixtures v2 rendered all 17 keypoint types as FLAT blobs in
+    3 channels (c % 3), so a channel-0 blob could be any of 6 joints;
+    once v2 freed articulation/rotation there was no rigid-template
+    position prior left to disambiguate — measured in round 5 as the red
+    quality gates' root cause (NOTES_r5.md arms 1-5: oracle-assign AP
+    0.0 at every scale/truncation tried, while v1 stayed green). A
+    6-level intensity code was tried first and is ALSO insufficient
+    (arms 6-7: adjacent levels differ by ~9% of full scale — too subtle
+    for a width-0.25 net in a gate budget). Hue coding makes identity a
+    LINEAR function of local color, readable by the first conv layer —
+    the property real images have through appearance (a wrist looks
+    like a wrist) — while keeping v2's articulated geometry, truncation,
+    and occlusion ordering.
+
+    Hues are evenly spaced on the HSV wheel but assigned in stride-7
+    order ((c*7) % 17, 7 coprime with 17), so SPATIALLY adjacent
+    keypoints (the face cluster, whose blobs overlap at gate scales) get
+    maximally separated hues and survive max-composition blending.
     """
-    return 0.55 + 0.45 * (c // 3) / 5.0
+    import colorsys
+
+    pal = np.zeros((NUM_KEYPOINTS, 3), np.float32)
+    for c in range(NUM_KEYPOINTS):
+        hue = ((c * 7) % NUM_KEYPOINTS) / NUM_KEYPOINTS
+        pal[c] = colorsys.hsv_to_rgb(hue, 1.0, 1.0)
+    return pal
+
+
+_PALETTE = _make_palette()
 
 
 def render_scene(
     keypoints: np.ndarray, img_h: int, img_w: int, blob_sigma: float = 3.0,
-    intensity_coded: bool = True,
+    color_coded: bool = True,
 ) -> np.ndarray:
     """Render persons as bright keypoint blobs → uint8 [H, W, 3].
 
     The blobs make the scene learnable end-to-end: a trained network can
     locate keypoints, and tests can assert decoded peaks near GT.
-    intensity_coded=False reproduces the round-4 flat-intensity
-    rendering (style "v2flat"/"v1" — kept for A/B continuity).
+    color_coded=True (style "v2") colors each keypoint type by
+    _PALETTE; color_coded=False reproduces the round-1..4 flat
+    3-channel rendering (styles "v1"/"v2flat" — kept for A/B
+    continuity).
     """
     yy, xx = np.mgrid[0:img_h, 0:img_w].astype(np.float32)
     canvas = np.zeros((img_h, img_w, 3), np.float32)
@@ -268,9 +286,10 @@ def render_scene(
             g = np.exp(
                 -((yy - y) ** 2 + (xx - x) ** 2) / (2 * blob_sigma**2)
             )
-            if intensity_coded:
-                g = g * _blob_level(c)
-            canvas[..., c % 3] = np.maximum(canvas[..., c % 3], g)
+            if color_coded:
+                canvas = np.maximum(canvas, g[..., None] * _PALETTE[c])
+            else:
+                canvas[..., c % 3] = np.maximum(canvas[..., c % 3], g)
     img = canvas * 200.0 + 20.0
     return np.clip(img, 0, 255).astype(np.uint8)
 
@@ -278,7 +297,7 @@ def render_scene(
 def render_scene_occluded(
     persons: list[np.ndarray], img_h: int, img_w: int,
     widths: list[float], blob_sigma: float = 3.0,
-    intensity_coded: bool = True,
+    color_coded: bool = True,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """v2 renderer with inter-person occlusion ordering.
 
@@ -317,9 +336,10 @@ def render_scene_occluded(
             g = np.exp(
                 -((yy - y) ** 2 + (xx - x) ** 2) / (2 * blob_sigma**2)
             )
-            if intensity_coded:
-                g = g * _blob_level(c)
-            canvas[..., c % 3] = np.maximum(canvas[..., c % 3], g)
+            if color_coded:
+                canvas = np.maximum(canvas, g[..., None] * _PALETTE[c])
+            else:
+                canvas[..., c % 3] = np.maximum(canvas[..., c % 3], g)
     img = canvas * 200.0 + body[..., None] * 60.0 + 20.0
     return np.clip(img, 0, 255).astype(np.uint8), kps_out
 
@@ -339,10 +359,11 @@ def make_dataset(
     """Deterministic synthetic dataset in the coco.py record layout.
 
     style="v2" (default): articulated/rotated/truncated/occluded scenes
-    with intensity-coded blobs (round 5 — see _blob_level for why flat
-    blobs made the round-4 gates unlearnable). style="v2flat": identical
-    geometry with the round-4 flat-intensity rendering (A/B continuity
-    with the round-5 512² knob grid, which ran on it). style="v1": the
+    with hue-palette-coded blobs (round 5 — see _make_palette for why
+    flat blobs made the round-4 gates unlearnable). style="v2flat":
+    identical geometry with the round-4 flat-intensity rendering (A/B
+    continuity with the round-5 512² knob grid, which ran on it).
+    style="v1": the
     round-1..3 rigid upright distribution (kept for continuity with
     recorded A/B numbers; pass min_size=0.2, max_size=0.6 to reproduce
     them exactly).
@@ -368,10 +389,10 @@ def make_dataset(
         coded = style == "v2"
         if style == "v1":
             kps = np.asarray(kps, np.float32).reshape(-1, NUM_KEYPOINTS, 3)
-            image = render_scene(kps, img_h, img_w, intensity_coded=False)
+            image = render_scene(kps, img_h, img_w, color_coded=False)
         else:
             image, kps = render_scene_occluded(kps, img_h, img_w, widths,
-                                               intensity_coded=coded)
+                                               color_coded=coded)
             kps = np.asarray(kps, np.float32).reshape(-1, NUM_KEYPOINTS, 3)
         # Every-attempt-rejected scenes (aggressive truncation at small
         # sizes) must still yield well-shaped empty arrays (ADVICE r4):
