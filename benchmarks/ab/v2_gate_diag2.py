@@ -138,6 +138,21 @@ def main():
     ap.add_argument("--width", type=float, default=0.25)
     ap.add_argument("--fpn", type=int, default=32)
     ap.add_argument("--head", type=int, default=32)
+    # Gradient-share arm: at convergence the heatmap term is a few
+    # percent of the total loss, so the SHARED trunk (stem/FPN) is
+    # steered almost entirely by the detector losses. v1 needed no
+    # trunk features beyond blob positions; v2's identity features
+    # (hue -> keypoint type) only get trained if the heatmap loss has
+    # gradient share.
+    ap.add_argument("--hm-weight", type=float, default=1.0)
+    # Budget-economics arms (diag3 proved single-image overfit works, so
+    # the failure is plain underfitting of 48 diverse scenes in a gate
+    # budget): learning rate, scene count (views-per-scene at fixed
+    # steps), and scale-diversity narrowing.
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--train-images", type=int, default=48)
+    ap.add_argument("--min-size", type=float, default=0.3)
+    ap.add_argument("--max-size", type=float, default=0.65)
     args = ap.parse_args()
 
     cfg = gate_config(args.size, args.steps)
@@ -146,10 +161,16 @@ def main():
             cfg.model, backbone_width=args.width, fpn_channels=args.fpn,
             head_channels=args.head),
         train=dataclasses.replace(
-            cfg.train, seed=args.seed, log_interval_steps=40),
+            cfg.train, seed=args.seed, log_interval_steps=40,
+            heatmap_loss_weight=args.hm_weight,
+            learning_rate=args.lr),
     )
-    records = make_v2_dataset(48, args.size, args.size, 0, args.render)
-    eval_records = make_v2_dataset(8, args.size, args.size, 77, args.render)
+    records = make_v2_dataset(args.train_images, args.size, args.size, 0,
+                              args.render, min_size=args.min_size,
+                              max_size=args.max_size)
+    eval_records = make_v2_dataset(8, args.size, args.size, 77,
+                                   args.render, min_size=args.min_size,
+                                   max_size=args.max_size)
     print(json.dumps({"arm": vars(args)}))
 
     losses = []
