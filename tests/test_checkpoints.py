@@ -1,5 +1,7 @@
 """Orbax checkpoint save/restore round-trip (SURVEY.md §5 checkpoint/resume)."""
 
+import pytest
+
 import tempfile
 
 import jax
@@ -11,6 +13,7 @@ from multiposenet_tpu.train import steps as steps_lib
 from multiposenet_tpu.train.checkpoints import CheckpointManager
 
 
+@pytest.mark.slow  # main-trainer orbax roundtrip; PRN resume roundtrip stays fast
 def test_save_restore_roundtrip():
     cfg = Config(
         model=ModelConfig(backbone_width=0.25, fpn_channels=32,
@@ -39,10 +42,13 @@ def test_save_restore_roundtrip():
 
 
 def test_restore_without_checkpoint_returns_template():
+    # Minimal widths/size: this test only needs SOME train-state template
+    # (the restore fast-path is pure bookkeeping), so keep its one-time
+    # init compile as cheap as possible for the fast tier.
     cfg = Config(
-        model=ModelConfig(backbone_width=0.25, fpn_channels=32,
-                          head_channels=32),
-        train=TrainConfig(image_size=64),
+        model=ModelConfig(backbone_width=0.25, fpn_channels=16,
+                          head_channels=16),
+        train=TrainConfig(image_size=32),
     )
     template = steps_lib.create_train_state(cfg, jax.random.PRNGKey(0))
     with tempfile.TemporaryDirectory() as d:

@@ -34,6 +34,7 @@ def tiny_config_file(tmp_path):
     return str(p)
 
 
+@pytest.mark.slow  # full CLI train+eval; cli predict/prepare/preset tests stay fast
 def test_cli_train_and_eval_roundtrip(tiny_config_file, tmp_path, capsys):
     model_dir = str(tmp_path / "model")
     main(["train", "--config", tiny_config_file, "--synthetic", "4",
@@ -98,6 +99,8 @@ def test_crowd_preset_roundtrip_and_knobs():
     assert c.detector.soft_nms_sigma == 0.5
     assert c.detector.nms_vote_iou == 0.75
     assert c.detector.max_detections == 12
+    assert c.detector.iou_head          # round-5 ship (NOTES_r5.md A/B)
+    assert c.detector.iou_score_power == 2.0
     assert c.prn.crop_margin == 0.1
     assert c.prn.max_persons == 12
     assert c.prn.window_jitter == 0.0  # crowd-unsafe knob stays off

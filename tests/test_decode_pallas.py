@@ -30,7 +30,12 @@ def test_smoothing_matrix_matches_conv():
                                    atol=1e-6)
 
 
-@pytest.mark.parametrize("shape", [(2, 64, 128, 3), (1, 128, 128, 17)])
+@pytest.mark.parametrize("shape", [
+    (2, 64, 128, 3),
+    # Full 17-channel square maps: same kernel code paths at a bigger
+    # shape — slow tier (the small shape + planted peaks stay fast).
+    pytest.param((1, 128, 128, 17), marks=pytest.mark.slow),
+])
 def test_pallas_decode_matches_jnp(shape):
     rng = np.random.RandomState(1)
     hm = rng.rand(*shape).astype(np.float32)
@@ -77,6 +82,7 @@ def test_pallas_decode_rejects_bad_window():
                                interpret=True)
 
 
+@pytest.mark.slow  # scalar phase-B parity; vector-path parity + planted peaks stay fast
 def test_pallas_decode_scalar_phase_b_matches_jnp():
     """The maps-inner scalar phase-B fallback stays parity-exact (the
     shipping default is the batched all-vector phase B)."""

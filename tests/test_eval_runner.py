@@ -2,6 +2,8 @@
 deterministic (SURVEY.md §4 integration row), and a 'perfect oracle
 predictor' scores AP = 1.0 through the whole runner plumbing."""
 
+import pytest
+
 import numpy as np
 
 from multiposenet_tpu.config import (
@@ -48,6 +50,7 @@ def test_oracle_predictor_scores_perfect_ap():
     assert stats["AR"] == 1.0
 
 
+@pytest.mark.slow  # real-model determinism; oracle + batched-contract tests stay fast
 def test_real_predictor_eval_is_deterministic():
     cfg = Config(
         model=ModelConfig(

@@ -36,6 +36,7 @@ def test_save_load_roundtrip_predictions_identical():
     np.testing.assert_array_equal(hm1, hm2)
 
 
+@pytest.mark.slow  # TF import; name-map, shape-mismatch and slim roundtrip stay fast
 def test_import_tf_checkpoint_by_name():
     tf = pytest.importorskip("tensorflow")
     cfg = tiny_cfg()
@@ -69,6 +70,7 @@ def test_import_tf_checkpoint_by_name():
     )
 
 
+@pytest.mark.slow  # imports TF (~15 s alone on this box); fast tier stays TF-free
 def test_import_tf_checkpoint_shape_mismatch_raises():
     tf = pytest.importorskip("tensorflow")
     cfg = tiny_cfg()
@@ -126,6 +128,7 @@ def test_bn_folding_preserves_outputs():
     np.testing.assert_allclose(hm_folded, hm_ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # imports TF; the no-TF name-map + BN-fold tests stay fast
 def test_slim_warm_start_roundtrip():
     """Write a tiny TF checkpoint with literal TF-slim MobileNetV1 variable
     names (incl. (3,3,C,1) depthwise kernels) and import the full backbone

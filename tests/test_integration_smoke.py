@@ -5,7 +5,8 @@ VERDICT r3 weak #6 / next-round #7: the full integration gate
 the ~10-minute budget typical of CI runs, so it is marked `slow`; this
 module keeps an end-to-end AP assertion inside `pytest -m "not slow"`.
 Same pipeline (train → PRN train → Predictor → KeypointEvaluator), scaled
-down: 160 main steps + 80 PRN steps at 96², 8 eval scenes.
+down: 100 main steps + 56 PRN steps at 96², 8 eval scenes (~3 min clean
+on this box — the largest single item in the fast tier's 10-min budget).
 
 Fixture choice (round 5): **fixtures v1**, deliberately. Round 4 switched
 these gates to fixtures v2 with floors copied from a calibration that
@@ -35,11 +36,10 @@ drift lands green) plus test_train.py/test_sharding.py parity tests.
 
 Floors are ~half of round-5 calibration measured ON THIS CONFIG in the
 pytest environment from a completed green run (NOTES_r5.md "gate
-recalibration"; the single-device diag control measured e2e AP50 0.443,
-the in-pytest 1-device-mesh run 0.491 — the mesh pin removes the DP
-drift, the residual is environment numerics): GT-box AP50/AP measured
-1.0/0.610 → floors 0.5/0.3; e2e AP50/AR50 measured 0.491/0.615 →
-floors 0.2/0.25.
+recalibration" + "fast tier budget"; at the round-5 budget of 100 main /
+56 PRN steps the in-pytest run measured GT-box AP50/AP 1.0/0.652 and
+e2e AP50/AR50 0.601/0.769 in 180.7 s): GT-box floors 0.5/0.3; e2e
+floors 0.3/0.35.
 """
 
 import json
@@ -80,8 +80,8 @@ def _config() -> Config:
         prn=PRNConfig(crop_height=14, crop_width=10, hidden_units=128,
                       max_persons=4),
         decode=DecodeConfig(score_threshold=0.1),
-        train=TrainConfig(image_size=SIZE, batch_size=8, num_steps=160,
-                          warmup_steps=20, learning_rate=3e-3, seed=0),
+        train=TrainConfig(image_size=SIZE, batch_size=8, num_steps=100,
+                          warmup_steps=12, learning_rate=3e-3, seed=0),
     )
 
 
@@ -111,7 +111,7 @@ def trained():
         cfg,
         batch_iterator(records, 8, SIZE, cfg.prn.max_persons, train=True,
                        augment=False),
-        num_steps=80,
+        num_steps=56,
     )
     state = jax.device_get(state)
     predictor = Predictor(
@@ -137,12 +137,12 @@ def test_smoke_gt_box_ap_floor(trained):
     stats = ev.summarize()
     print(json.dumps({"smoke_gtbox": stats}))
     assert stats["AP50"] >= 0.5, stats
-    assert stats["AP"] >= 0.25, stats
+    assert stats["AP"] >= 0.3, stats
 
 
 def test_smoke_detector_e2e_ap_floor(trained):
     predictor, eval_records = trained
     stats = evaluate_predictor(predictor, eval_records)
     print(json.dumps({"smoke_e2e": stats}))
-    assert stats["AP50"] >= 0.2, stats
-    assert stats["AR50"] >= 0.25, stats
+    assert stats["AP50"] >= 0.3, stats
+    assert stats["AR50"] >= 0.35, stats

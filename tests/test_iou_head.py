@@ -1,6 +1,8 @@
 """IoU-aware scoring head (DetectorConfig.iou_head, round-4 knob):
 head output shape, loss semantics, and the rescored NMS ranking."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -19,6 +21,7 @@ from multiposenet_tpu.ops import detection as detection_lib
 from multiposenet_tpu.train import losses as losses_lib
 
 
+@pytest.mark.slow  # default-off knob head compile; loss/rescore semantics stay fast
 def test_head_emits_iou_logits_per_level():
     from multiposenet_tpu.models.detector_head import DetectorHead
 

@@ -34,6 +34,7 @@ def test_backbone_feature_strides():
     assert feats["C5"].shape[1:3] == (SIZE // 32, SIZE // 32)
 
 
+@pytest.mark.slow  # caps variant compile; stride/shape backbone tests stay fast
 def test_backbone_stage_caps():
     """backbone_stage_caps caps channels per output-stride stage (after
     the width multiplier; backbone_max_channels still applies)."""
@@ -113,6 +114,7 @@ def test_posenet_joint_forward():
     assert det["P3"]["box"].shape == (1, SIZE // 8, SIZE // 8, a * 4)
 
 
+@pytest.mark.slow  # bf16 variant compile; f32 joint forward stays fast
 def test_posenet_bf16_compute():
     cfg = Config(
         model=ModelConfig(
@@ -130,6 +132,7 @@ def test_posenet_bf16_compute():
     assert leaf.dtype == jnp.float32
 
 
+@pytest.mark.slow  # BN stats move during smoke-gate training too (fast)
 def test_posenet_batchnorm_train_mode_updates_stats():
     cfg = _tiny_config()
     model = MultiPoseNet(config=cfg, with_detector=False)

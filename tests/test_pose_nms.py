@@ -1,6 +1,8 @@
 """Pose-level OKS NMS (ops/pose_nms.py): duplicate-skeleton dedup
 semantics, slot-order greediness, and predictor plumbing."""
 
+import pytest
+
 import dataclasses
 
 import jax.numpy as jnp
@@ -69,6 +71,7 @@ def test_pose_nms_scale_is_keeper_area():
     np.testing.assert_array_equal(keep_small[0], [True, True])
 
 
+@pytest.mark.slow  # predictor plumbing; pose-NMS op semantics tests stay fast
 def test_pose_nms_through_predictor():
     """The config knob reaches the fused program; threshold 0 leaves the
     pipeline bit-identical to the knob-less path."""

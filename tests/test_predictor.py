@@ -44,6 +44,7 @@ def test_resize_pad_normalize_aspect():
     np.testing.assert_allclose(arr[0, 0], want, rtol=1e-4)
 
 
+@pytest.mark.slow  # heatmap-shape compile; full predict contract stays fast
 def test_predict_heatmaps_shapes():
     pred = tiny_predictor(image_size=128)
     img = np.random.RandomState(0).randint(
@@ -54,6 +55,7 @@ def test_predict_heatmaps_shapes():
     assert np.isfinite(hm).all()
 
 
+@pytest.mark.slow  # extra entry-point compile; predict() contract stays fast
 def test_predict_keypoints_original_coords():
     pred = tiny_predictor(image_size=128)
     img = np.random.RandomState(1).randint(
@@ -136,6 +138,7 @@ def test_on_device_resize_matches_host_path():
     np.testing.assert_allclose(got, want, atol=0.05)
 
 
+@pytest.mark.slow  # staging entry; s4-flat staging parity test stays fast
 def test_batch_runner_accepts_staging_shape():
     pred = tiny_predictor(image_size=128)
     run = pred.make_batch_runner()
@@ -238,6 +241,7 @@ def test_s4_flat_staging_matches_square_path():
     )
 
 
+@pytest.mark.slow  # TTA+s4 combo compile; plain TTA + s4 staging parity stay fast
 def test_flip_tta_s4_staging_parity():
     """Flip TTA's 48-channel phase permutation (composed s4 cells) must
     reproduce the square-path TTA exactly."""

@@ -2,6 +2,8 @@
 accuracy well above chance on crowded synthetic scenes (BASELINE.json:10
 stresses ≥8-person images)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +56,7 @@ def test_crop_cell_targets_roundtrip():
     assert weight[0, 0] == 0.0
 
 
+@pytest.mark.slow  # PRN training; smoke gate trains a PRN end-to-end (fast)
 def test_prn_training_improves_accuracy():
     cfg = cfg_small()
     state = prn_train.create_prn_state(cfg, jax.random.PRNGKey(0))
@@ -77,6 +80,7 @@ def test_prn_training_improves_accuracy():
     assert tail_acc > 0.4, tail_acc
 
 
+@pytest.mark.slow  # default-off knob loss path
 def test_window_jitter_loss_path():
     """prn.window_jitter: jittered windows give a finite, different loss
     from the exact-GT-window path, and jitter=0 with an rng is identical

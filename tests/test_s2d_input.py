@@ -4,6 +4,7 @@ with the plain conv stem (models/mobilenet, ops/image)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multiposenet_tpu.models.mobilenet import (
     MobileNetV1,
@@ -30,6 +31,7 @@ def test_s2d_stem_matches_plain_stem():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # fallback-path compile; main s2d parity tests stay fast
 def test_s2d_stem_odd_size_falls_back():
     x = jnp.asarray(
         np.random.RandomState(0).randn(1, 63, 65, 3).astype(np.float32)

@@ -1,6 +1,8 @@
 """Data-parallel sharding over 8 virtual devices (SURVEY.md §4: exercise the
 DP mesh/sharding path without a TPU slice)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +70,7 @@ def test_sharded_batch_inference_matches_single_device():
     )
 
 
+@pytest.mark.slow  # fold-norm parity also covered by test_models fold tests (fast)
 def test_batch_runner_fold_input_norm():
     """The DP-sharded batched path with fold_input_norm (raw uint8 pixels
     into the folded stem) runs under an 8-device mesh and matches the
@@ -111,6 +114,7 @@ def test_batch_runner_fold_input_norm():
     )
 
 
+@pytest.mark.slow  # shipped-layout parity; basic sharded-vs-single parity stays fast
 def test_shipped_layouts_sharded_parity():
     """VERDICT r3 #6: the fast() operating point's inference layouts —
     s4-flat host staging + the Pallas decode kernel (interpret mode off

@@ -1,6 +1,8 @@
 """Training step tests: loss decreases on a fixed synthetic batch, EMA
 moves, state round-trips; DP-sharded step on 8 virtual devices."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +36,7 @@ def synth_batch(cfg, n):
     )
 
 
+@pytest.mark.slow  # fast tier covers training via the smoke-gate train fixture
 def test_train_step_decreases_loss_and_updates_ema():
     cfg = tiny_config()
     state = steps_lib.create_train_state(cfg, jax.random.PRNGKey(0))
@@ -58,6 +61,7 @@ def test_train_step_decreases_loss_and_updates_ema():
     assert not np.allclose(np.asarray(e1), np.asarray(p1))
 
 
+@pytest.mark.slow  # eval-step compile; smoke gate exercises the train family fast
 def test_eval_step_runs_with_ema():
     cfg = tiny_config()
     state = steps_lib.create_train_state(cfg, jax.random.PRNGKey(0))
@@ -68,6 +72,7 @@ def test_eval_step_runs_with_ema():
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+@pytest.mark.slow  # DP parity; fast tier keeps sharded-inference parity + driver dryrun
 def test_train_step_sharded_over_mesh():
     """The judged DP path: batch sharded 8-way, params replicated; metrics
     must match the unsharded step bitwise-closely."""
@@ -130,6 +135,7 @@ def test_giou_loss_values_and_masking():
     assert abs(masked - per_box[0]) < 1e-6
 
 
+@pytest.mark.slow  # knob train; giou loss-value semantics test stays fast
 def test_train_step_giou_box_loss_decreases():
     """The giou knob trains: loss finite and decreasing on a fixed batch."""
     import dataclasses
