@@ -78,6 +78,15 @@ VARIANTS = {
                                   "max_detections": 12,
                                   "pose_nms_oks": 0.9},
                      "prn": {"crop_margin": 0.1, "max_persons": 12}},
+    # crowd + iou_head at the measured-best power 2 (round-5 crowd A/B:
+    # +0.026/+0.037 e2e AP two seeds): the knob's inference perf cost —
+    # one extra A-channel conv per level + the NMS rescore.
+    "crowdiouh": {"detector": {"soft_nms_sigma": 0.5,
+                               "nms_vote_iou": 0.75,
+                               "max_detections": 12,
+                               "iou_head": True,
+                               "iou_score_power": 2.0},
+                  "prn": {"crop_margin": 0.1, "max_persons": 12}},
 }
 
 

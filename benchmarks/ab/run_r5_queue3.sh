@@ -7,7 +7,7 @@
 set -x
 cd /root/repo
 export JAX_PLATFORMS=axon
-timeout 2700 python benchmarks/ab/abench.py base crowdpreset crowdposenms \
+timeout 3600 python benchmarks/ab/abench.py base crowdpreset crowdiouh crowdposenms \
     > /tmp/r5_abench_crowd.log 2>&1
 timeout 1800 python benchmarks/profile_e2e.py > /tmp/r5_profile.log 2>&1
 echo QUEUE3 DONE

@@ -338,19 +338,29 @@ class Config:
           punish imprecise boxes twice (PRN crop AND NMS cluster);
         - Gaussian soft-NMS σ=0.5 + box voting 0.75: +0.04-0.05 — decay
           instead of hard suppression keeps real neighbors alive;
-        - PRN crop margin 0.1 (all crowd arms were measured with it);
-        - 12 detection/PRN slots (vs 9 GT max in the ≥8-person setting).
+        - PRN crop margin 0.1 (all crowd arms were measured with it;
+          margins ≥0.2 measured WORSE on both seeds — NOTES_r5.md);
+        - 12 detection/PRN slots (vs 9 GT max in the ≥8-person setting);
+        - IoU-aware scoring head, power 2 (round-5 A/B, NOTES_r5.md):
+          +0.026/+0.037 crowd e2e AP on two seeds, GT-box control flat,
+          poor_box/bad_kps attribution classes both shrink — the measured
+          cure for the round-4 ~36% box-quality attribution. STRUCTURAL:
+          iou_head changes the detector param tree, so crowd() checkpoints
+          from rounds ≤4 need `iou_head=False` passed as an override to
+          restore (see README "Checkpoint compatibility").
 
         Composed: 5-9-person e2e AP 0.19/0.20 → 0.31/0.34 over `fast()`'s
-        reference-faithful defaults. NOTE: `window_jitter` stays 0 — it
-        collapses the crowd GT-box protocol (NOTES_r3.md crowd caveat).
+        reference-faithful defaults (pre-iou_head numbers). NOTE:
+        `window_jitter` stays 0 — it collapses the crowd GT-box protocol
+        (NOTES_r3.md crowd caveat).
         """
         cfg = cls.fast()
         cfg = cfg.replace(
             detector=dataclasses.replace(
                 cfg.detector, box_loss="giou", giou_loss_weight=5.0,
                 soft_nms_sigma=0.5, nms_vote_iou=0.75,
-                max_detections=12),
+                max_detections=12,
+                iou_head=True, iou_loss_weight=1.0, iou_score_power=2.0),
             prn=dataclasses.replace(
                 cfg.prn, crop_margin=0.1, max_persons=12),
         )
