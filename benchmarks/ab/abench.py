@@ -87,6 +87,14 @@ VARIANTS = {
                                "iou_head": True,
                                "iou_score_power": 2.0},
                   "prn": {"crop_margin": 0.1, "max_persons": 12}},
+    # Round-5 micro-lever A/Bs (profile-driven, NOTES_r5.md):
+    # PRN score readout via take_along_axis (the pre-round-5 path;
+    # base now ships the one-hot select-and-reduce).
+    "scoregather": {"scoreonehot": False},
+    # Request the staged-input parameter in the layout the stem wants
+    # (minor-to-major {0,2,1} per the profile's 0.42 ms relayout
+    # copy.300) so the copy moves into device_put/H2D.
+    "informat": {"informat": (1, 2, 0)},
 }
 
 
@@ -94,7 +102,8 @@ def build(overrides):
     cfg = Config.fast()
     for section, kv in overrides.items():
         if section in ("bs", "mpp", "pred", "xfirst", "batchedB",
-                       "blocks", "tap2", "tilerows"):
+                       "blocks", "tap2", "tilerows", "scoreonehot",
+                       "informat"):
             continue
         cfg = cfg.replace(**{
             section: dataclasses.replace(getattr(cfg, section), **kv)
@@ -109,12 +118,14 @@ def bench(name):
     bs = spec.get("bs", 128)
     mpp0 = decode_pallas.MAPS_PER_PROGRAM
     xf0 = prn_ops.CROP_X_FIRST
+    so0 = prn_ops.SCORE_ONEHOT
     bb0 = decode_pallas.BATCHED_PHASE_B
     tr0 = kp_tail_pallas.TILE_ROWS
     blocks0 = mobilenet._MOBILENET_V1_BLOCKS
     taps0 = mobilenet._TAP_AFTER
     decode_pallas.MAPS_PER_PROGRAM = spec.get("mpp", mpp0)
     prn_ops.CROP_X_FIRST = spec.get("xfirst", xf0)
+    prn_ops.SCORE_ONEHOT = spec.get("scoreonehot", so0)
     decode_pallas.BATCHED_PHASE_B = spec.get("batchedB", bb0)
     kp_tail_pallas.TILE_ROWS = spec.get("tilerows", tr0)
     if "blocks" in spec:
@@ -131,12 +142,23 @@ def bench(name):
         stage = (space_to_depth_flat4 if cfg.model.stem_stride == 4
                  else space_to_depth_flat)
         rng = np.random.RandomState(0)
+        if "informat" in spec:
+            from jax.experimental.layout import Format, Layout
+            fmt = Format(
+                Layout(spec["informat"]),
+                jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            )
+            put = lambda a: jax.device_put(jnp.asarray(a), fmt)
+            fn = jax.jit(pred._batch_forward_impl,
+                         in_shardings=(None, None, fmt))
+        else:
+            put = jax.device_put
+            fn = jax.jit(pred._batch_forward_impl)
         bufs = [
-            jax.device_put(jnp.asarray(stage(rng.randint(
+            put(jnp.asarray(stage(rng.randint(
                 0, 255, (bs, SIZE, SIZE, 3), dtype=np.uint8))))
             for _ in range(2)
         ]
-        fn = jax.jit(pred._batch_forward_impl)
         out = fn(pred.variables, pred.prn_variables, bufs[0])
         np.asarray(out["keypoints"].ravel()[:1])
         ts = []

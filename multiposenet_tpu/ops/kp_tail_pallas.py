@@ -25,6 +25,23 @@ Contract: `kp_tail_cm(l2, z8, kernel, bias)` ==
 within bf16 accumulation tolerance (both sides accumulate in f32).
 Parity: tests/test_kp_tail_pallas.py (interpret mode on CPU; TPU parity
 via the predictor cross-path tests).
+
+MEASURED DEAD END IN-MODEL (round 5 — stays default-OFF, don't
+re-walk): after the Mosaic-compile fixes below, the kernel compiles and
+runs on real v5e, beats the isolated XLA tail standalone (6.2 vs 7.4 ms
+at bs=8, dispatch-dominated), but IN-MODEL the e2e pipeline measures
+20.7 ms/iter vs 15.9 base at bs=128/512² (one-process abench,
+/tmp/r5_abench_tail2.log, NOTES_r5.md). Cause: the custom call's
+row-major operand_layout_constraints force relayout copies of l2/zw at
+the kernel boundary (XLA holds them in its internally-tiled conv
+layouts) and the caller-side W-doubling materializes [B,H/2,W,C] in
+HBM — together they exceed the ~1 ms the fusion saves. Same failure
+mode as the round-2 standalone depthwise kernel (NOTES_r3 dead ends).
+Mosaic portability notes (the probe cycle that got it compiling at
+all): 5-D nearest-upsample broadcast+reshape = unsupported shape cast;
+sublane-axis interleave (stack+reshape) = unsupported shape cast; the
+H doubling over the untiled leading axis DOES lower; the kernel needs
+vmem_limit_bytes raised past the 16 MB scoped default.
 """
 
 from __future__ import annotations
@@ -47,18 +64,22 @@ TILE_ROWS = 16
 FORCE_INTERPRET = False
 
 
-def _tail_kernel(l2_ref, z8_ref, w_ref, b_ref, out_ref, *, tile_rows: int):
-    """One image per program: [H, W, C] + [H/2, W/2, C] → [K, H, W]."""
+def _tail_kernel(l2_ref, zw_ref, w_ref, b_ref, out_ref, *, tile_rows: int):
+    """One image per program: [H, W, C] + [H/2, W, C] → [K, H, W]."""
     l2 = l2_ref[0]                      # [H, W, C]
-    z8 = z8_ref[0]                      # [H/2, W/2, C]
+    zw = zw_ref[0]                      # [H/2, W, C] (W already doubled)
     h, w, c = l2.shape
     k = out_ref.shape[1]
-    h2, w2 = z8.shape[0], z8.shape[1]
+    h2 = zw.shape[0]
 
     # Nearest 2x upsample = replication (models/fpn.nearest_upsample_2x),
-    # then the stride-4 lateral add — both VMEM-resident.
+    # then the stride-4 lateral add — both VMEM-resident. Mosaic cannot
+    # lower sublane-axis interleaves ("unsupported shape cast" on the
+    # W doubling — r5 compile probes, NOTES_r5.md), so the caller feeds
+    # the W-doubled context and the kernel only doubles H: a broadcast +
+    # merge over the untiled leading axis, which lowers.
     up = jnp.broadcast_to(
-        z8[:, None, :, None, :], (h2, 2, w2, 2, c)
+        zw[:, None, :, :], (h2, 2, w, c)
     ).reshape(h, w, c)
     x = l2 + up                          # [H, W, C] compute dtype
 
@@ -118,17 +139,28 @@ def kp_tail_cm(
     wmat = kernel.reshape(9 * c, k).astype(l2.dtype)
     bias2 = bias.astype(jnp.float32).reshape(1, k)
 
+    # W-axis nearest doubling stays in XLA (Mosaic rejects sublane-axis
+    # interleaves — see _tail_kernel); the H doubling, add, conv, and
+    # channel-major write fuse in the kernel.
+    zw = jnp.repeat(z8, 2, axis=2)                  # [B, H/2, W, C]
+
     fn = pl.pallas_call(
         functools.partial(_tail_kernel, tile_rows=TILE_ROWS),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h // 2, w // 2, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h // 2, w, c), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((9 * c, k), lambda i: (0, 0)),
             pl.BlockSpec((1, k), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, k, h, w), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, k, h, w), l2.dtype),
+        # ~19 MB/program at the in-model shapes (l2 + zw + up + padded x
+        # + im2col patch tiles + input double-buffering) — above the
+        # 16 MB scoped default, well under the chip's 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
-    return fn(l2, z8, wmat, bias2)
+    return fn(l2, zw, wmat, bias2)

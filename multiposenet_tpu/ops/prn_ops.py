@@ -41,6 +41,12 @@ import jax.numpy as jnp
 # winner measured on v5e ships as the default.
 CROP_X_FIRST = True
 
+# Score readout in keypoints_from_prn: True = one-hot select-and-reduce
+# over the lane axis (dense VPU); False = take_along_axis (serialized
+# dynamic-gather fusion, ~0.5 ms/iter at bs=128 — NOTES_r5.md profile).
+# A/B flag; the winner measured on v5e ships as the default.
+SCORE_ONEHOT = True
+
 def expand_boxes(boxes: jnp.ndarray, margin: float) -> jnp.ndarray:
     """Expand (y0, x0, y1, x1) boxes by `margin` × side length per side.
 
@@ -225,8 +231,18 @@ def keypoints_from_prn(
     iy = (idx % ch).astype(jnp.float32)
     ix = (idx // ch).astype(jnp.float32)
 
-    # Score = input heatmap value at the PRN-selected cell.
-    score = jnp.take_along_axis(crops_km, idx[..., None], axis=-1)[..., 0]
+    # Score = input heatmap value at the PRN-selected cell. A
+    # take_along_axis gather over the lane axis lowers to a serialized
+    # dynamic-gather fusion (~0.5 ms/iter at bs=128, profile in
+    # NOTES_r5.md); the one-hot select-and-reduce is exact (idx is a
+    # single in-range index) and stays dense on the VPU lane axis.
+    if SCORE_ONEHOT:
+        lane = jax.lax.iota(jnp.int32, crops_km.shape[-1])
+        onehot = lane == idx[..., None]       # [P, K, hw], one true/row
+        score = jnp.sum(jnp.where(onehot, crops_km, 0), axis=-1)
+    else:
+        score = jnp.take_along_axis(
+            crops_km, idx[..., None], axis=-1)[..., 0]
 
     # Map crop-grid cell centers back to heatmap coords (inverse of the
     # sampling in interp_matrix).
