@@ -48,6 +48,7 @@ import numpy as np
 
 from snap_ab import base_config
 from error_attrib import attribute_scene
+from multiposenet_tpu.config import Config
 from multiposenet_tpu.data.loader import batch_iterator
 from multiposenet_tpu.data.synthetic import make_dataset
 from multiposenet_tpu.eval.oks import DetectionKP, KeypointEvaluator
@@ -59,7 +60,9 @@ from multiposenet_tpu.infer.predictor import Predictor
 from multiposenet_tpu.train import prn_train
 from multiposenet_tpu.train.loop import train
 
-SIZE = 128
+SIZE = 128          # --size 512 switches to the shipped-scale mode
+STEPS = 500         # (Config.fast() arch, 1200 steps, AP-only eval)
+PRN_STEPS = 300
 
 ARMS = [
     ("base", {}),
@@ -71,7 +74,22 @@ POWERS = (0.5, 1.0, 2.0)
 
 
 def crowd_config(seed_off: int, det_overrides: dict):
-    cfg = base_config()
+    if SIZE == 512:
+        # Shipped-scale mode: the exact Config.fast() architecture
+        # behind the throughput headline (as train_synthetic_512.py),
+        # with the crowd giou-w5 recipe both arms.
+        cfg = Config.fast()
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, compute_dtype="float32", bn_momentum=0.95),
+            train=dataclasses.replace(
+                cfg.train, image_size=SIZE, batch_size=16,
+                num_steps=STEPS, warmup_steps=50, learning_rate=2e-3),
+        )
+    else:
+        cfg = base_config()
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, num_steps=STEPS))
     return cfg.replace(
         detector=dataclasses.replace(
             cfg.detector, box_loss="giou", giou_loss_weight=5.0,
@@ -102,7 +120,7 @@ def get_weights(tag: str, cfg, train_records):
         cfg,
         batch_iterator(train_records, cfg.train.batch_size, SIZE,
                        cfg.prn.max_persons, train=True, augment=False),
-        num_steps=300,
+        num_steps=PRN_STEPS,
         log_fn=lambda m: None,
     )
     prn_variables = jax.device_get(prn_state.params)
@@ -113,15 +131,26 @@ def get_weights(tag: str, cfg, train_records):
 
 
 def main() -> None:
+    global SIZE, STEPS, PRN_STEPS, POWERS
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", default="0,11")
     ap.add_argument("--sparse", action="store_true",
                     help="1-4-person scenes instead of 5-9 (regression "
                          "check: the knob must not hurt sparse)")
     ap.add_argument("--style", default="v1", choices=["v1", "v2"])
+    ap.add_argument("--size", type=int, default=128, choices=[128, 512],
+                    help="512 = shipped-scale mode: Config.fast() arch, "
+                         "1200 steps / PRN 400, 32 eval scenes, AP-only "
+                         "(no per-scene attribution: the tunnel's "
+                         "per-predict latency dominates at 512², and the "
+                         "error-class mechanism is established at 128²)")
     args = ap.parse_args()
+    if args.size == 512:
+        SIZE, STEPS, PRN_STEPS, POWERS = 512, 1200, 400, (1.0, 2.0)
     lo, hi = (1, 4) if args.sparse else (5, 9)
     dens = "sparse" if args.sparse else "crowd"
+    if SIZE == 512:
+        dens += "512"
     if args.style == "v1":
         # v1 is the default arena; tags stay round-4-comparable.
         skw = dict(style="v1", min_size=0.2, max_size=0.6)
@@ -129,10 +158,11 @@ def main() -> None:
         dens += "_v2"
         skw = dict(style="v2")
 
-    train_records = make_dataset(128, img_h=SIZE, img_w=SIZE,
+    n_train, n_eval = (192, 32) if SIZE == 512 else (128, 64)
+    train_records = make_dataset(n_train, img_h=SIZE, img_w=SIZE,
                                  min_persons=lo, max_persons=hi, seed=0,
                                  **skw)
-    eval_records = make_dataset(64, img_h=SIZE, img_w=SIZE,
+    eval_records = make_dataset(n_eval, img_h=SIZE, img_w=SIZE,
                                 min_persons=lo, max_persons=hi, seed=999,
                                 **skw)
 
@@ -152,21 +182,35 @@ def main() -> None:
                     predictor = Predictor(config=cfg_n, variables=variables,
                                           prn_variables=prn_variables,
                                           image_size=SIZE)
-                    stats = evaluate_predictor(predictor, eval_records)
-                    attr = collections.Counter()
-                    for rec in eval_records:
-                        attr += attribute_scene(
-                            predictor.predict(rec["image"]), rec)
-                    gt_n = max(attr["gt_total"], 1)
-                    print(json.dumps({
-                        "tag": tag, "arm": arm, "power": power,
-                        "nms": nname, "e2e_AP": stats["AP"],
-                        "e2e_AP50": stats["AP50"],
-                        "e2e_AP75": stats["AP75"], "AR": stats.get("AR"),
-                        "poor_box_rate": round(attr["poor_box"] / gt_n, 3),
-                        "bad_kps_rate": round(attr["bad_kps"] / gt_n, 3),
-                        "ok_rate": round(attr["ok"] / gt_n, 3),
-                    }), flush=True)
+                    row = {"tag": tag, "arm": arm, "power": power,
+                           "nms": nname}
+                    if SIZE == 512:
+                        # AP-only, one batched program (32 predicts
+                        # through the tunnel would dominate otherwise).
+                        from multiposenet_tpu.eval.runner import (
+                            evaluate_batched)
+                        stats = evaluate_batched(predictor, eval_records,
+                                                 batch_size=len(
+                                                     eval_records))
+                    else:
+                        stats = evaluate_predictor(predictor, eval_records)
+                        attr = collections.Counter()
+                        for rec in eval_records:
+                            attr += attribute_scene(
+                                predictor.predict(rec["image"]), rec)
+                        gt_n = max(attr["gt_total"], 1)
+                        row.update({
+                            "poor_box_rate": round(
+                                attr["poor_box"] / gt_n, 3),
+                            "bad_kps_rate": round(
+                                attr["bad_kps"] / gt_n, 3),
+                            "ok_rate": round(attr["ok"] / gt_n, 3),
+                        })
+                    row.update({"e2e_AP": stats["AP"],
+                                "e2e_AP50": stats["AP50"],
+                                "e2e_AP75": stats["AP75"],
+                                "AR": stats.get("AR")})
+                    print(json.dumps(row), flush=True)
 
             # GT-box protocol: box-independent control, must be flat.
             predictor = Predictor(config=cfg, variables=variables,
