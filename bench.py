@@ -25,6 +25,8 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 5000.0
 # TPU v5e (v5 lite) peak dense bf16 matmul throughput, per chip.
 PEAK_BF16_TFLOPS = 197.0
+# TPU v5e HBM bandwidth per chip (16 GB HBM2 @ 819 GB/s, public spec).
+PEAK_HBM_GBPS = 819.0
 
 
 def _backend_ready(retries: int = 3, backoff_s: float = 60.0,
@@ -265,6 +267,20 @@ def bench_e2e(batch_size: int = 64, image_size: int = 512,
             result["achieved_tflops"] = round(achieved_tflops, 2)
             result["mfu_vs_bf16_peak"] = round(
                 achieved_tflops / PEAK_BF16_TFLOPS, 4)
+        # Which roofline binds: XLA's "bytes accessed" counts each
+        # fusion's operand+output bytes — an upper bound on true HBM
+        # traffic (VMEM reuse inside a fusion is already excluded, but
+        # inter-fusion producer/consumer pairs that stay resident are
+        # not), so achieved-bytes/s near PEAK_HBM_GBPS means the program
+        # is bandwidth-bound and the MFU number is a floor property of
+        # the model's arithmetic intensity, not a scheduling gap.
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if bytes_acc > 0:
+            gbps = bytes_acc / sec / 1e9
+            result["xla_bytes_per_image_mb"] = round(
+                bytes_acc / batch_size / 1e6, 1)
+            result["achieved_gbps_xla_bytes"] = round(gbps, 1)
+            result["vs_hbm_roofline"] = round(gbps / PEAK_HBM_GBPS, 3)
     except Exception:  # noqa: BLE001 — diagnostics only
         pass
     dev_ms = _device_op_total_ms(run)

@@ -112,6 +112,12 @@ def main() -> None:
     variables = {"params": state.ema_params,
                  "batch_stats": state.batch_stats}
     prn_variables = jax.device_get(prn_state.params)
+    # Eval-time memory hygiene (the round-5 9600-step run was host-killed
+    # at eval before its controls printed): the train scenes are no longer
+    # needed, and at most ONE predictor is live at a time below.
+    del train_records
+    import gc
+    gc.collect()
     predictor = Predictor(
         config=cfg,
         variables=variables,
@@ -126,6 +132,19 @@ def main() -> None:
     stats = evaluate_predictor(predictor, eval_records)
     print(json.dumps({"e2e_512": stats,
                       "pool": cfg.detector.pre_nms_top_k}), flush=True)
+
+    # GT-box PRN protocol (the reference's PRN evaluation) — uses the same
+    # predictor, so it runs before the pool-256 control replaces it.
+    ev = KeypointEvaluator()
+    for rec in eval_records:
+        kps = predictor.predict_given_boxes(rec["image"], rec["boxes"])
+        dts = [DetectionKP(keypoints=kps[p].astype(np.float32), score=1.0)
+               for p in range(len(rec["boxes"]))]
+        ev.add_image(record_ground_truths(rec), dts)
+    print(json.dumps({"gtbox_512": ev.summarize()}), flush=True)
+
+    del predictor
+    gc.collect()
     cfg256 = cfg.replace(detector=dataclasses.replace(
         cfg.detector, pre_nms_top_k=256))
     stats256 = evaluate_predictor(
@@ -134,15 +153,6 @@ def main() -> None:
         eval_records,
     )
     print(json.dumps({"e2e_512_pool256": stats256}), flush=True)
-
-    # GT-box PRN protocol (the reference's PRN evaluation).
-    ev = KeypointEvaluator()
-    for rec in eval_records:
-        kps = predictor.predict_given_boxes(rec["image"], rec["boxes"])
-        dts = [DetectionKP(keypoints=kps[p].astype(np.float32), score=1.0)
-               for p in range(len(rec["boxes"]))]
-        ev.add_image(record_ground_truths(rec), dts)
-    print(json.dumps({"gtbox_512": ev.summarize()}), flush=True)
 
 
 if __name__ == "__main__":
