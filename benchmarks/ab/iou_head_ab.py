@@ -149,6 +149,8 @@ def main() -> None:
                          "quality points; 0 = the mode default)")
     ap.add_argument("--train-images", type=int, default=0,
                     help="override the train-scene count (0 = default)")
+    ap.add_argument("--prn-steps", type=int, default=0,
+                    help="override the PRN training budget (0 = default)")
     ap.add_argument("--arms", default="",
                     help="comma-subset of {base,iouh} (default: both)")
     ap.add_argument("--powers", default="",
@@ -159,6 +161,8 @@ def main() -> None:
         SIZE, STEPS, PRN_STEPS, POWERS = 512, 1200, 400, (1.0, 2.0)
     if args.steps:
         STEPS = args.steps
+    if args.prn_steps:
+        PRN_STEPS = args.prn_steps
     if args.powers:
         POWERS = tuple(float(p) for p in args.powers.split(","))
     arms = ([a for a in ARMS if a[0] in args.arms.split(",")]
@@ -192,6 +196,8 @@ def main() -> None:
                 tag += f"_st{args.steps}"   # budget overrides must not
             if args.train_images:           # reuse default-budget caches
                 tag += f"_tr{args.train_images}"
+            if args.prn_steps:
+                tag += f"_pr{args.prn_steps}"
             variables, prn_variables = get_weights(tag, cfg, train_records)
 
             powers = POWERS if det_over.get("iou_head") else (1.0,)
