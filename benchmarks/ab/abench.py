@@ -91,6 +91,20 @@ VARIANTS = {
     # PRN score readout via take_along_axis (the pre-round-5 path;
     # base now ships the one-hot select-and-reduce).
     "scoregather": {"scoreonehot": False},
+    # PRN crop emitting [P,K,cw,ch] in dot_general-native order (free
+    # contiguous flatten) vs the shipped crop_cm + to_channel_major pair
+    # (materialized 0.64 ms transpose at bs=128 — NOTES_r5 profile).
+    "kmnative": {"kmnative": True},
+    # Hard-NMS parallel fixpoint (exact greedy equivalence, ~3 rounds vs
+    # 20 sequential picks — ops/nms.py HARD_FIXPOINT).
+    "nmsfix": {"nmsfix": True},
+    # Both round-5c levers together.
+    "kmnmsfix": {"kmnative": True, "nmsfix": True},
+    # Maps-on-lanes Pallas decode (zero relayout copy at the custom-call
+    # boundary — decode_pallas.DECODE_LANES), alone and with nmsfix.
+    "lanes": {"lanes": True},
+    "lanes64": {"lanes": True, "lanesblk": 64},
+    "lanesnmsfix": {"lanes": True, "nmsfix": True},
     # Request the staged-input parameter in the layout the stem wants
     # (minor-to-major {0,2,1} per the profile's 0.42 ms relayout
     # copy.300) so the copy moves into device_put/H2D.
@@ -103,7 +117,7 @@ def build(overrides):
     for section, kv in overrides.items():
         if section in ("bs", "mpp", "pred", "xfirst", "batchedB",
                        "blocks", "tap2", "tilerows", "scoreonehot",
-                       "informat"):
+                       "informat", "kmnative", "nmsfix", "lanes", "lanesblk"):
             continue
         cfg = cfg.replace(**{
             section: dataclasses.replace(getattr(cfg, section), **kv)
@@ -119,6 +133,11 @@ def bench(name):
     mpp0 = decode_pallas.MAPS_PER_PROGRAM
     xf0 = prn_ops.CROP_X_FIRST
     so0 = prn_ops.SCORE_ONEHOT
+    km0 = prn_ops.CROP_KM_NATIVE
+    from multiposenet_tpu.ops import nms as nms_mod
+    nf0 = nms_mod.HARD_FIXPOINT
+    ln0 = decode_pallas.DECODE_LANES
+    lb0 = decode_pallas.MAPS_LANES_BLOCK
     bb0 = decode_pallas.BATCHED_PHASE_B
     tr0 = kp_tail_pallas.TILE_ROWS
     blocks0 = mobilenet._MOBILENET_V1_BLOCKS
@@ -126,6 +145,10 @@ def bench(name):
     decode_pallas.MAPS_PER_PROGRAM = spec.get("mpp", mpp0)
     prn_ops.CROP_X_FIRST = spec.get("xfirst", xf0)
     prn_ops.SCORE_ONEHOT = spec.get("scoreonehot", so0)
+    prn_ops.CROP_KM_NATIVE = spec.get("kmnative", km0)
+    nms_mod.HARD_FIXPOINT = spec.get("nmsfix", nf0)
+    decode_pallas.DECODE_LANES = spec.get("lanes", ln0)
+    decode_pallas.MAPS_LANES_BLOCK = spec.get("lanesblk", lb0)
     decode_pallas.BATCHED_PHASE_B = spec.get("batchedB", bb0)
     kp_tail_pallas.TILE_ROWS = spec.get("tilerows", tr0)
     if "blocks" in spec:
@@ -174,6 +197,11 @@ def bench(name):
     finally:
         decode_pallas.MAPS_PER_PROGRAM = mpp0
         prn_ops.CROP_X_FIRST = xf0
+        prn_ops.SCORE_ONEHOT = so0
+        prn_ops.CROP_KM_NATIVE = km0
+        nms_mod.HARD_FIXPOINT = nf0
+        decode_pallas.DECODE_LANES = ln0
+        decode_pallas.MAPS_LANES_BLOCK = lb0
         decode_pallas.BATCHED_PHASE_B = bb0
         kp_tail_pallas.TILE_ROWS = tr0
         mobilenet._MOBILENET_V1_BLOCKS = blocks0

@@ -28,8 +28,10 @@ from multiposenet_tpu.models.prn import PRN
 from multiposenet_tpu.ops import decode as decode_ops
 from multiposenet_tpu.ops import pose_nms as pose_nms_ops
 from multiposenet_tpu.ops import prn_ops
+from multiposenet_tpu.ops import decode_pallas as decode_pallas_mod
 from multiposenet_tpu.ops.decode_pallas import (
     decode_heatmaps_pallas,
+    decode_heatmaps_pallas_lanes,
     decode_heatmaps_pallas_t,
 )
 from multiposenet_tpu.ops.detection import postprocess_detections
@@ -146,6 +148,14 @@ class Predictor:
         jnp reference on the [B, H, W, K] tensor off-TPU)."""
         if self.use_pallas_decode:
             b, k, h, w = hm_cm.shape
+            if decode_pallas_mod.DECODE_LANES:
+                # Maps-on-lanes kernel: consumes the NCHW conv output as a
+                # pure layout view (no relayout copy at the custom-call
+                # boundary — see decode_pallas.DECODE_LANES).
+                return decode_heatmaps_pallas_lanes(
+                    hm_cm, (b, k), self.config.decode,
+                    interpret=self.pallas_interpret,
+                )
             return decode_heatmaps_pallas_t(
                 hm_cm.reshape(b * k, h, w), (b, k), self.config.decode,
                 interpret=self.pallas_interpret,
@@ -241,14 +251,23 @@ class Predictor:
         # that re-cropped at the pass-1 keypoint extent was measured and
         # rejected — NOTES_r3.md "two-pass PRN".)
         hm_boxes = prn_ops.expand_boxes(hm_boxes, cfg.prn.crop_margin)
-        crops = prn_ops.batched_crop_heatmaps_cm(
-            heatmaps_cm, hm_boxes,
-            cfg.prn.crop_height, cfg.prn.crop_width,
-        )  # [B, D, cw, ch, K]
-        b, d = crops.shape[:2]
-        crops_km = prn_ops.to_channel_major(
-            crops, cfg.model.num_keypoints
-        )  # [B*D, K, hw]
+        b, d = hm_boxes.shape[:2]
+        if prn_ops.CROP_KM_NATIVE:
+            # Second crop einsum emits [P, K, cw, ch] natively; the
+            # [B*D, K, hw] flatten is contiguous (same flat = j*ch + i
+            # order) — see prn_ops.CROP_KM_NATIVE.
+            crops_km = prn_ops.batched_crop_heatmaps_km(
+                heatmaps_cm, hm_boxes,
+                cfg.prn.crop_height, cfg.prn.crop_width,
+            ).reshape(b * d, cfg.model.num_keypoints, -1)
+        else:
+            crops = prn_ops.batched_crop_heatmaps_cm(
+                heatmaps_cm, hm_boxes,
+                cfg.prn.crop_height, cfg.prn.crop_width,
+            )  # [B, D, cw, ch, K]
+            crops_km = prn_ops.to_channel_major(
+                crops, cfg.model.num_keypoints
+            )  # [B*D, K, hw]
         # Logits, not softmax: argmax is identical and the softmax over
         # [B*D, K, hw] costs real HBM traffic at inference.
         prn_out = self.prn.apply(prn_variables, crops_km,

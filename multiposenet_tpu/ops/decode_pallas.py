@@ -345,3 +345,181 @@ def decode_heatmaps_pallas_t(
     valid = scores > config.score_threshold
     scores = jnp.where(valid, scores, 0.0)
     return DecodedPeaks(positions=positions, scores=scores, valid=valid)
+
+
+# ---------------------------------------------------------------------- #
+# Maps-on-LANES variant (round 5): consumes the keypoint head's native
+# NCHW conv output as [H, W, K*B] — a pure layout VIEW ({0,1,3,2} NCHW
+# physical bytes ARE [H][W][K][B] row-major), so the Pallas custom call
+# needs no relayout copy (copy.226, 0.48 ms/iter at bs=128 — NOTES_r5
+# profile). Each lane is one (channel, batch) map; selection reduces
+# [H, W, M] → [1, 1, M] vectors with zero per-map unrolling (the leading-
+# axis kernel above unrolls MAPS_PER_PROGRAM python-level map loops).
+# A/B flag; the winner measured on v5e ships as the default.
+# ---------------------------------------------------------------------- #
+
+DECODE_LANES = False
+MAPS_LANES_BLOCK = 128  # lane-axis maps per program (f32 working set
+#                          ~8.4 MB/array at 128² — vmem_limit raised below)
+
+
+def _decode_kernel_lanes(
+    x_ref, sh_ref, scores_ref, ys_ref, xs_ref,
+    *, n_peaks: int, shift: float, taps: tuple[float, ...],
+):
+    """[H, W, M] maps-on-lanes decode → (scores, ys, xs), each [P, M].
+
+    Same math as _decode_kernel: banded-matrix H smoothing on the MXU,
+    W smoothing as zero-padded shifted adds (identical truncated-Gaussian
+    taps), 3x3 -inf-border peak NMS, packed sub-pixel codes, and P rounds
+    of (value desc, flat-index asc) masked selection — but every reduction
+    keeps the lane (map) axis, so all M maps select concurrently.
+    """
+    neg_inf = jnp.float32(-jnp.inf)
+    h, w, m_blk = x_ref.shape
+    xf = x_ref[:].astype(jnp.float32)
+    sh = sh_ref[:]
+
+    # H smoothing: S_h @ X with (W, M) merged — full-width MXU contraction.
+    sm = jnp.dot(
+        sh, xf.reshape(h, w * m_blk), preferred_element_type=jnp.float32
+    ).reshape(h, w, m_blk)
+    # W smoothing: zero-padded shifted adds along the sublane axis.
+    half = len(taps) // 2
+    acc = sm * jnp.float32(taps[half])
+    for d in range(1, half + 1):
+        z = jnp.zeros((h, d, m_blk), jnp.float32)
+        acc = acc + jnp.float32(taps[half + d]) * jnp.concatenate(
+            [sm[:, d:], z], axis=1)
+        acc = acc + jnp.float32(taps[half - d]) * jnp.concatenate(
+            [z, sm[:, :-d]], axis=1)
+    sm = acc
+
+    # 3x3 maximum filter with -inf borders (two separable 3-maxes).
+    inf_row = jnp.full((1, w, m_blk), neg_inf)
+    inf_col = jnp.full((h, 1, m_blk), neg_inf)
+    up = jnp.concatenate([sm[1:], inf_row], axis=0)
+    down = jnp.concatenate([inf_row, sm[:-1]], axis=0)
+    vmax = jnp.maximum(sm, jnp.maximum(up, down))
+    left = jnp.concatenate([vmax[:, 1:], inf_col], axis=1)
+    right = jnp.concatenate([inf_col, vmax[:, :-1]], axis=1)
+    m9 = jnp.maximum(vmax, jnp.maximum(left, right))
+    masked = jnp.where(sm >= m9, sm, neg_inf)
+
+    # Packed global key: (row*w + col)*16 + subpixel code — min-reduce
+    # implements lax.top_k's (value desc, flat asc) tie order, carrying
+    # the border-clipped sub-pixel signs for free.
+    right_n = jnp.concatenate([sm[:, 1:], sm[:, -1:]], axis=1)
+    left_n = jnp.concatenate([sm[:, :1], sm[:, :-1]], axis=1)
+    down_n = jnp.concatenate([sm[1:], sm[-1:]], axis=0)
+    up_n = jnp.concatenate([sm[:1], sm[:-1]], axis=0)
+    comb = (
+        jnp.sign(down_n - up_n) * 4.0 + jnp.sign(right_n - left_n)
+    ).astype(jnp.int32)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (h, w, m_blk), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (h, w, m_blk), 1)
+    key = (row_i * w + col_i) * 16 + comb + 5
+    big = h * w * 16
+
+    s_rows, y_rows, x_rows = [], [], []
+    for _ in range(n_peaks):
+        mx = jnp.max(
+            jnp.max(masked, axis=0, keepdims=True), axis=1, keepdims=True
+        )                                                    # [1, 1, M]
+        kmin = jnp.min(
+            jnp.min(
+                jnp.where(masked == mx, key, big), axis=0, keepdims=True
+            ),
+            axis=1, keepdims=True,
+        )                                                    # [1, 1, M]
+        masked = jnp.where(key == kmin, neg_inf, masked)
+        idx = kmin // 16
+        cv = (kmin % 16 - 5).astype(jnp.float32)
+        dy = jnp.round(cv * 0.25) * shift
+        dx = (cv - jnp.round(cv * 0.25) * 4.0) * shift
+        s_rows.append(mx[0])                                 # [1, M]
+        y_rows.append((idx[0] // w).astype(jnp.float32) + dy[0])
+        x_rows.append((idx[0] % w).astype(jnp.float32) + dx[0])
+    scores_ref[:] = jnp.concatenate(s_rows, axis=0)          # [P, M]
+    ys_ref[:] = jnp.concatenate(y_rows, axis=0)
+    xs_ref[:] = jnp.concatenate(x_rows, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bk", "config", "interpret")
+)
+def decode_heatmaps_pallas_lanes(
+    hm_cm: jnp.ndarray,
+    bk: tuple[int, int],
+    config: DecodeConfig = DecodeConfig(),
+    interpret: bool = False,
+) -> DecodedPeaks:
+    """Decode channel-major heatmaps [B, K, H, W] with maps on LANES.
+
+    The [B,K,H,W] → [H,W,K*B] transpose+reshape is a pure layout view of
+    the keypoint head's native NCHW conv output, so feeding this kernel
+    costs zero HBM copies when XLA assigns the conv its preferred
+    {0,1,3,2} layout (the leading-axis kernel's default-layout operand
+    forces a full relayout copy instead).
+    """
+    if config.nms_window != 3:
+        raise ValueError(
+            "pallas decode kernel implements the reference 3x3 NMS window; "
+            f"got nms_window={config.nms_window}"
+        )
+    b, k = bk
+    _, _, h, w = hm_cm.shape
+    m = k * b
+    x = jnp.transpose(hm_cm, (2, 3, 1, 0)).reshape(h, w, m)
+    m_blk = min(MAPS_LANES_BLOCK, max(8, m))
+    pad = (-m) % m_blk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((h, w, pad), x.dtype)], axis=-1)
+    total = m + pad
+    p = config.max_peaks_per_channel
+    sh = jnp.asarray(smoothing_matrix(h, config.smooth_sigma,
+                                      config.smooth_kernel_size))
+    if config.smooth_sigma > 0:
+        taps = tuple(
+            float(t) for t in gaussian_kernel_1d(
+                config.smooth_sigma, config.smooth_kernel_size)
+        )
+    else:
+        taps = (1.0,)
+    out_shape = jax.ShapeDtypeStruct((p, total), jnp.float32)
+    out_spec = pl.BlockSpec((p, m_blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _decode_kernel_lanes, n_peaks=p,
+        shift=float(config.subpixel_shift), taps=taps,
+    )
+    scores, ys, xs = pl.pallas_call(
+        kernel,
+        grid=(total // m_blk,),
+        in_specs=[
+            pl.BlockSpec((h, w, m_blk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * h * h * w
+            + total * h * w * 2 * (len(taps) + 1),
+            bytes_accessed=total * h * w * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, sh)
+    # [P, K*B] → [B, K, P] (tiny tensors — 70 KB at bs=128).
+    scores = scores[:, :m].reshape(p, k, b).transpose(2, 1, 0)
+    ys = ys[:, :m].reshape(p, k, b).transpose(2, 1, 0)
+    xs = xs[:, :m].reshape(p, k, b).transpose(2, 1, 0)
+    positions = jnp.stack([ys, xs], axis=-1)
+    valid = scores > config.score_threshold
+    scores = jnp.where(valid, scores, 0.0)
+    return DecodedPeaks(positions=positions, scores=scores, valid=valid)

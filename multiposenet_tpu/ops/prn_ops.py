@@ -47,6 +47,15 @@ CROP_X_FIRST = True
 # A/B flag; the winner measured on v5e ships as the default.
 SCORE_ONEHOT = True
 
+# Crop path in the inference pipeline: True = crop_heatmaps_km (second
+# einsum emits [P, K, cw, ch] in dot_general's NATIVE dim order, so the
+# [N, K, hw] flatten is a contiguous reshape); False = the
+# crop_heatmaps_cm → to_channel_major pair (materializes the transposed
+# write + reshape — 0.55 ms reshape.540 + 0.09 ms copy at bs=128 in the
+# NOTES_r5 profile). A/B flag; the winner measured on v5e ships as the
+# default. Both paths produce the same flat order (flat = j * ch + i).
+CROP_KM_NATIVE = False
+
 def expand_boxes(boxes: jnp.ndarray, margin: float) -> jnp.ndarray:
     """Expand (y0, x0, y1, x1) boxes by `margin` × side length per side.
 
@@ -193,6 +202,50 @@ def batched_crop_heatmaps_cm(
     return jax.vmap(
         lambda hm, bx: crop_heatmaps_cm(hm, bx, crop_height, crop_width)
     )(heatmaps_cm, boxes)
+
+def crop_heatmaps_km(
+    heatmap: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_height: int,
+    crop_width: int,
+) -> jnp.ndarray:
+    """Channel-major heatmap[K, H, W] + boxes[P, 4] → crops [P, K, cw*ch]
+    — the to_channel_major(crop_heatmaps_cm(...)) values in ONE step.
+
+    Same x-first contraction as crop_heatmaps_cm, but the second einsum
+    is written operand-order 'pkyj,piy->pkji' so its output IS
+    dot_general's native [batch, lhs-free (k, j), rhs-free (i)] order —
+    no transposed write — and the [P, K, cw*ch] flatten (flat = j*ch + i,
+    the same column-major order as to_channel_major) collapses two
+    already-adjacent minor dims: a free reshape instead of the
+    materialized [N, hw, K]→[N, K, hw] swap (0.64 ms/iter at bs=128 —
+    NOTES_r5 profile, reshape.540 + copy.242).
+    """
+    _, h, w = heatmap.shape
+    y0, x0, y1, x1 = (boxes[:, i] for i in range(4))
+    ry = interp_matrix(
+        y0, jnp.maximum(y1 - y0, 1e-3), crop_height, h
+    ).astype(heatmap.dtype)
+    rx = interp_matrix(
+        x0, jnp.maximum(x1 - x0, 1e-3), crop_width, w
+    ).astype(heatmap.dtype)
+    cols = jnp.einsum("pjx,kyx->pkyj", rx, heatmap)
+    crops = jnp.einsum("pkyj,piy->pkji", cols, ry)  # native [P, K, cw, ch]
+    return crops.reshape(crops.shape[0], crops.shape[1], -1)
+
+
+def batched_crop_heatmaps_km(
+    heatmaps_cm: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_height: int,
+    crop_width: int,
+) -> jnp.ndarray:
+    """vmap over images: heatmaps[B, K, H, W] channel-major →
+    [B, P, K, cw*ch] (flat = j * ch + i)."""
+    return jax.vmap(
+        lambda hm, bx: crop_heatmaps_km(hm, bx, crop_height, crop_width)
+    )(heatmaps_cm, boxes)
+
 
 def to_channel_major(
     crops: jnp.ndarray, num_keypoints: int

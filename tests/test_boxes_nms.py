@@ -225,3 +225,55 @@ def test_soft_nms_through_postprocess():
     cfg = dataclasses.replace(base, soft_nms_sigma=0.5)
     assert cfg.soft_nms_sigma == 0.5
     hash(cfg)
+
+
+def test_hard_fixpoint_matches_greedy():
+    """_nms_hard_fixpoint == the greedy loop on randomized candidate sets
+    (overlap chains, exact score ties, zero-score padding, degenerate
+    boxes) — the HARD_FIXPOINT flag must be a pure perf knob."""
+    from multiposenet_tpu.ops import nms as nms_mod
+
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        n = 64
+        yx = rng.uniform(0, 40, (n, 2)).astype(np.float32)
+        hw = rng.uniform(2, 14, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([yx, yx + hw], -1)
+        scores = rng.rand(n).astype(np.float32)
+        scores[rng.rand(n) < 0.25] = 0.0          # below-threshold padding
+        dup = rng.choice(n, 8, replace=False)
+        scores[dup[4:]] = scores[dup[:4]]         # exact score ties
+        boxes[dup[1]] = boxes[dup[0]]             # identical boxes
+        boxes[dup[2], 2:] = boxes[dup[2], :2]     # degenerate (zero area)
+        for max_out, thr in ((20, 0.5), (12, 0.3), (64, 0.7)):
+            want = nms_mod._nms_greedy(
+                jnp.asarray(boxes), jnp.asarray(scores), max_out, thr)
+            got = nms_mod._nms_hard_fixpoint(
+                jnp.asarray(boxes), jnp.asarray(scores), max_out, thr)
+            for w, g, name in zip(want, got, ("boxes", "scores", "valid")):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-6,
+                    err_msg=f"trial {trial} max_out {max_out} thr {thr} "
+                            f"{name}")
+
+
+def test_hard_fixpoint_batched_and_flag_dispatch():
+    """batched_nms under HARD_FIXPOINT (vmapped while_loop) matches the
+    greedy batched path; flag restored afterwards."""
+    from multiposenet_tpu.ops import nms as nms_mod
+
+    rng = np.random.RandomState(1)
+    yx = rng.uniform(0, 30, (3, 32, 2)).astype(np.float32)
+    hw = rng.uniform(2, 10, (3, 32, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([yx, yx + hw], -1))
+    scores = jnp.asarray(rng.rand(3, 32).astype(np.float32))
+    want = batched_nms(boxes, scores, 10, 0.5)
+    flag0 = nms_mod.HARD_FIXPOINT
+    nms_mod.HARD_FIXPOINT = True
+    try:
+        got = batched_nms(boxes, scores, 10, 0.5)
+    finally:
+        nms_mod.HARD_FIXPOINT = flag0
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)

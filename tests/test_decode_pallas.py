@@ -113,3 +113,58 @@ def test_pallas_decode_scalar_phase_b_matches_jnp():
         np.asarray(got.positions)[v], np.asarray(want.positions)[v],
         rtol=1e-4, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 64, 128, 3),
+    (3, 32, 64, 5),   # non-multiple-of-block map count (padding path)
+])
+def test_lanes_decode_matches_jnp(shape):
+    """Maps-on-lanes kernel (decode_pallas.DECODE_LANES) == jnp reference:
+    same contract as the leading-axis kernel — scores/valid everywhere,
+    positions of valid slots exact."""
+    from multiposenet_tpu.ops.decode_pallas import (
+        decode_heatmaps_pallas_lanes,
+    )
+
+    rng = np.random.RandomState(11)
+    hm = rng.rand(*shape).astype(np.float32)
+    cfg = DecodeConfig(max_peaks_per_channel=6, score_threshold=0.3)
+    want = decode_jnp.decode_heatmaps(jnp.asarray(hm), cfg)
+    hm_cm = jnp.transpose(jnp.asarray(hm), (0, 3, 1, 2))
+    got = decode_heatmaps_pallas_lanes(
+        hm_cm, (shape[0], shape[3]), cfg, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.scores)[v], np.asarray(want.scores)[v],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.positions)[v], np.asarray(want.positions)[v],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_lanes_decode_planted_peaks_bf16():
+    """Planted Gaussian peaks survive the lanes kernel in the compute
+    dtype the pipeline feeds it (bf16 maps, f32 smoothing)."""
+    from multiposenet_tpu.ops.decode_pallas import (
+        decode_heatmaps_pallas_lanes,
+    )
+
+    h = w = 64
+    hm = np.zeros((1, h, w, 2), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for c, (cy, cx) in enumerate(((20.0, 31.0), (44.5, 12.0))):
+        hm[0, :, :, c] = np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 2.0**2))
+    cfg = DecodeConfig(max_peaks_per_channel=4, score_threshold=0.2)
+    hm_cm = jnp.transpose(jnp.asarray(hm), (0, 3, 1, 2)).astype(jnp.bfloat16)
+    got = decode_heatmaps_pallas_lanes(hm_cm, (1, 2), cfg, interpret=True)
+    pos = np.asarray(got.positions)
+    assert np.asarray(got.valid)[0, 0, 0] and np.asarray(got.valid)[0, 1, 0]
+    np.testing.assert_allclose(pos[0, 0, 0], [20.0, 31.0], atol=0.6)
+    np.testing.assert_allclose(pos[0, 1, 0], [44.5, 12.0], atol=0.6)

@@ -150,3 +150,29 @@ def test_to_channel_major_roundtrip():
         for i in range(8):
             np.testing.assert_array_equal(km[:, :, j * 8 + i],
                                           flat[:, j * 8 + i, :])
+
+
+def test_crop_km_native_matches_cm_path():
+    """crop_heatmaps_km == to_channel_major(crop_heatmaps_cm(...)): the
+    dot_general-native second einsum (prn_ops.CROP_KM_NATIVE) must produce
+    the exact same [P, K, hw] values and flat order (flat = j*ch + i) as
+    the shipped crop_cm → to_channel_major pair."""
+    from multiposenet_tpu.ops.prn_ops import (
+        batched_crop_heatmaps_cm,
+        batched_crop_heatmaps_km,
+    )
+
+    rng = np.random.RandomState(7)
+    hms_cm = jnp.asarray(rng.rand(2, 17, 24, 20).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, 10, (2, 4, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].add(10.0)
+
+    want = to_channel_major(
+        batched_crop_heatmaps_cm(hms_cm, boxes, 28, 18), 17
+    )  # [B*P, K, hw]
+    got = batched_crop_heatmaps_km(hms_cm, boxes, 28, 18)
+    assert got.shape == (2, 4, 17, 28 * 18)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(8, 17, -1), np.asarray(want),
+        rtol=1e-5, atol=1e-6,
+    )
