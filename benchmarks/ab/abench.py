@@ -105,6 +105,10 @@ VARIANTS = {
     "lanes": {"lanes": True},
     "lanes64": {"lanes": True, "lanesblk": 64},
     "lanesnmsfix": {"lanes": True, "nmsfix": True},
+    # Transposed s4-flat staging (space_to_depth_flat4_t): host
+    # pre-applies the {0,2,1} relayout so copy.282 (0.43 ms) becomes a
+    # bitcast. Shape-dispatched in the predictor — no model flag.
+    "staget": {"staget": True},
     # Request the staged-input parameter in the layout the stem wants
     # (minor-to-major {0,2,1} per the profile's 0.42 ms relayout
     # copy.300) so the copy moves into device_put/H2D.
@@ -117,7 +121,8 @@ def build(overrides):
     for section, kv in overrides.items():
         if section in ("bs", "mpp", "pred", "xfirst", "batchedB",
                        "blocks", "tap2", "tilerows", "scoreonehot",
-                       "informat", "kmnative", "nmsfix", "lanes", "lanesblk"):
+                       "informat", "kmnative", "nmsfix", "lanes", "lanesblk",
+                       "staget"):
             continue
         cfg = cfg.replace(**{
             section: dataclasses.replace(getattr(cfg, section), **kv)
@@ -164,6 +169,9 @@ def bench(name):
                          **spec.get("pred", {}))
         stage = (space_to_depth_flat4 if cfg.model.stem_stride == 4
                  else space_to_depth_flat)
+        if spec.get("staget"):
+            from multiposenet_tpu.ops.image import space_to_depth_flat4_t
+            stage = space_to_depth_flat4_t
         rng = np.random.RandomState(0)
         if "informat" in spec:
             from jax.experimental.layout import Format, Layout

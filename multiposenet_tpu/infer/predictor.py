@@ -473,6 +473,10 @@ class Predictor:
             (ops/image.space_to_depth_flat4), the fast path for
             stem_stride=4 models: the stem matmul consumes the cells with
             zero device-side retiling;
+          * [B, S*12, S/4] — TRANSPOSED s4-flat staging
+            (ops/image.space_to_depth_flat4_t): same cells, host
+            pre-applies the {0,2,1} relayout the device would otherwise
+            copy into;
           * [B, S/2, S*6] — host-staged 2x2 space-to-depth flat layout
             (ops/image.space_to_depth_flat): the device normalizes at
             full lane density and the stem consumes the s2d cells;
@@ -487,6 +491,14 @@ class Predictor:
             # s4-flat staging (ops/image.space_to_depth_flat4).
             x = (image_ops.s4_flat_to_cells(images, dtype) if raw
                  else image_ops.normalize_s4_flat(images, dtype))
+        elif images.ndim == 3 and images.shape[1] == images.shape[2] * 48:
+            # TRANSPOSED s4-flat staging (space_to_depth_flat4_t): bytes
+            # arrive in the {0,2,1} physical order the stem pipeline
+            # reads, so this transpose is a layout-change bitcast instead
+            # of the 0.43 ms relayout copy (NOTES_r5 profile).
+            flat = jnp.transpose(images, (0, 2, 1))
+            x = (image_ops.s4_flat_to_cells(flat, dtype) if raw
+                 else image_ops.normalize_s4_flat(flat, dtype))
         elif images.ndim == 3:
             x = (image_ops.s2d_flat_to_cells(images, dtype) if raw
                  else image_ops.normalize_s2d_flat(images, dtype))

@@ -131,6 +131,26 @@ def space_to_depth_flat4(images: np.ndarray) -> np.ndarray:
     return x.reshape(b, h // 4, (w // 4) * 16 * c)
 
 
+def space_to_depth_flat4_t(images: np.ndarray) -> np.ndarray:
+    """HOST-side staging, TRANSPOSED s4-flat: uint8 [B, H, W, 3] →
+    [B, (W/4)*48, H/4] — space_to_depth_flat4 with the minor two dims
+    swapped on host.
+
+    Why: at bs=128/512² XLA relayouts the [B, Hq, Wq*48] staged parameter
+    to minor-to-major {0,2,1} (physical [B][Wf][Hq]) before the stem —
+    a 0.43 ms/iter HBM copy (NOTES_r5 profile, image.py:141). Staging the
+    bytes in that physical order up front makes the in-model transpose
+    back to [B, Hq, Wf] a pure layout-change bitcast. (Requesting the
+    {0,2,1} layout on the untransposed parameter via
+    jax.experimental.layout measured WORSE — NOTES_r5 "informat";
+    changing the LOGICAL format keeps every layout default.) The
+    predictor dispatches on the shape: shape[1] == shape[2] * 48.
+    """
+    return np.ascontiguousarray(
+        space_to_depth_flat4(images).transpose(0, 2, 1)
+    )
+
+
 def s4_flat_to_cells(
     flat: jnp.ndarray, dtype: jnp.dtype = jnp.float32
 ) -> jnp.ndarray:

@@ -93,3 +93,47 @@ def test_stem_kernel_remap_shapes():
     # The never-touched quadrant (dy%2==1 and dx%2==1 of cell (+1,+1))
     # stays zero: phase (1,1) channels of cell offset (1,1).
     np.testing.assert_array_equal(np.asarray(ks[1, 1, 9:12]), 0.0)
+
+
+def test_s4_flat_transposed_staging_matches():
+    """space_to_depth_flat4_t == transpose of space_to_depth_flat4, and
+    the predictor's shape-dispatch routes it through the identical cell
+    path (the transpose back is exact)."""
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    flat = image_ops.space_to_depth_flat4(imgs)
+    flat_t = image_ops.space_to_depth_flat4_t(imgs)
+    assert flat_t.shape == (2, flat.shape[2], flat.shape[1])
+    np.testing.assert_array_equal(flat_t, flat.transpose(0, 2, 1))
+    # Shape dispatch is unambiguous: [B, Wf, Hq] has dim1 == dim2 * 48.
+    assert flat_t.shape[1] == flat_t.shape[2] * 48
+    cells = image_ops.s4_flat_to_cells(jnp.asarray(flat))
+    cells_t = image_ops.s4_flat_to_cells(
+        jnp.transpose(jnp.asarray(flat_t), (0, 2, 1)))
+    np.testing.assert_array_equal(np.asarray(cells), np.asarray(cells_t))
+
+
+def test_predictor_transposed_staging_parity():
+    """Full _batch_forward_impl on transposed vs plain s4-flat staging —
+    identical outputs (the transposed format is a pure layout change)."""
+    import dataclasses
+
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.infer.predictor import Predictor
+
+    cfg = Config.fast()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, backbone_width=0.25, fpn_channels=32, head_channels=32))
+    pred = Predictor(config=cfg, image_size=64)
+    rng = np.random.RandomState(6)
+    imgs = rng.randint(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    a = pred._batch_forward_impl(
+        pred.variables, pred.prn_variables,
+        jnp.asarray(image_ops.space_to_depth_flat4(imgs)))
+    b = pred._batch_forward_impl(
+        pred.variables, pred.prn_variables,
+        jnp.asarray(image_ops.space_to_depth_flat4_t(imgs)))
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k)
