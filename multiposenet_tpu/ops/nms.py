@@ -69,12 +69,23 @@ def _nms_hard_fixpoint(
         cond, body, (jnp.ones((n,), bool), jnp.zeros((n,), bool))
     )
     # Output slots: first max_out kept boxes in rank order (greedy's pick
-    # sequence). Not-kept entries sort behind every kept one.
+    # sequence). Not-kept entries sort behind every kept one; slots past
+    # the candidate count (max_out > n — the greedy loop emits invalid
+    # slots there) are padded after the top_k.
     slot_key = jnp.where(kept, rank, n).astype(jnp.int32)
-    _, sel = jax.lax.top_k(-slot_key, max_out)
+    k_sel = min(max_out, n)
+    _, sel = jax.lax.top_k(-slot_key, k_sel)
     picked = slot_key[sel] < n
     out_boxes = jnp.where(picked[:, None], b[sel], 0.0).astype(boxes.dtype)
     out_scores = jnp.where(picked, s[sel], 0.0)
+    if max_out > n:
+        pad = max_out - n
+        out_boxes = jnp.concatenate(
+            [out_boxes, jnp.zeros((pad, 4), out_boxes.dtype)], axis=0)
+        out_scores = jnp.concatenate(
+            [out_scores, jnp.zeros((pad,), out_scores.dtype)], axis=0)
+        picked = jnp.concatenate(
+            [picked, jnp.zeros((pad,), bool)], axis=0)
     # Same contract as the greedy loop: zero-score candidates can occupy
     # slots (box written) but report valid False.
     return out_boxes, out_scores, picked & (out_scores > 0.0)

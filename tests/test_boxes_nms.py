@@ -245,7 +245,8 @@ def test_hard_fixpoint_matches_greedy():
         scores[dup[4:]] = scores[dup[:4]]         # exact score ties
         boxes[dup[1]] = boxes[dup[0]]             # identical boxes
         boxes[dup[2], 2:] = boxes[dup[2], :2]     # degenerate (zero area)
-        for max_out, thr in ((20, 0.5), (12, 0.3), (64, 0.7)):
+        for max_out, thr in ((20, 0.5), (12, 0.3), (64, 0.7),
+                             (80, 0.5)):  # max_out > n: padded slots
             want = nms_mod._nms_greedy(
                 jnp.asarray(boxes), jnp.asarray(scores), max_out, thr)
             got = nms_mod._nms_hard_fixpoint(
