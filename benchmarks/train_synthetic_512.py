@@ -63,6 +63,14 @@ def main() -> None:
         help="config.prn.crop_margin override (PRN trains and infers "
              "with the same margin; 128-squared A/B favored 0.1 — "
              "NOTES_r3.md)")
+    parser.add_argument(
+        "--compute-dtype", type=str, default="float32",
+        choices=("float32", "bfloat16"),
+        help="model compute dtype for TRAINING (losses/optimizer stay "
+             "f32 — train/steps.py upcasts at every loss head). float32 "
+             "is the calibrated default; bfloat16 is the training-"
+             "throughput lever measured in NOTES_r5 (speed + quality "
+             "control at the same operating point)")
     args = parser.parse_args()
 
     cfg = Config.fast()
@@ -73,7 +81,7 @@ def main() -> None:
             cfg.prn, crop_margin=args.prn_crop_margin))
     cfg = cfg.replace(
         model=dataclasses.replace(
-            cfg.model, compute_dtype="float32", bn_momentum=0.95,
+            cfg.model, compute_dtype=args.compute_dtype, bn_momentum=0.95,
             backbone_stage_caps=caps,
         ),
         decode=DecodeConfig(score_threshold=0.1),

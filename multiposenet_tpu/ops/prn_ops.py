@@ -23,11 +23,13 @@ rhs-free dims). The PRN path then makes exactly ONE materialized layout
 change — [N, hw, K] → [N, K, hw] (to_channel_major) — so the MLP flat
 order, the residual add, the per-channel argmax readout, and the score
 gather all run on a K-major tensor whose MINOR axis is the 504-wide flat
-crop grid (full lane density). Measured on v5e at bs=128 against three
+crop grid (full lane density). Measured on v5e at bs=128 against FOUR
 alternatives (forced row-major pijk crops: +2.3 ms of layout copies;
 K-minor readouts: argmax over a 17- or 18-lane minor axis alone cost
-12-19 ms; pkij-natural einsums via an xkpi intermediate: +1.4 ms), this
-is the fastest arrangement of the whole crop→MLP→readout pipeline.
+12-19 ms; pkij-natural einsums via an xkpi intermediate: +1.4 ms;
+round-5 crop_heatmaps_km — dot-native 'pkyj,piy->pkji' second einsum
+with a contiguous flatten, CROP_KM_NATIVE below: +0.35 ms), this is
+the fastest arrangement of the whole crop→MLP→readout pipeline.
 """
 
 from __future__ import annotations
