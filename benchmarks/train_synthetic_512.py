@@ -64,6 +64,14 @@ def main() -> None:
              "with the same margin; 128-squared A/B favored 0.1 — "
              "NOTES_r3.md)")
     parser.add_argument(
+        "--style", type=str, default="v2",
+        choices=("v1", "v2", "v2flat"),
+        help="fixtures distribution (data/synthetic.make_dataset). v2 is "
+             "the default long-horizon curve distribution; v1 is the "
+             "calibrated quality-control distribution (f32/1200 steps "
+             "reproduces the round-3 e2e AP ≈ 0.69 table entry) — used "
+             "as the sensitive control for the bf16-training A/B")
+    parser.add_argument(
         "--compute-dtype", type=str, default="float32",
         choices=("float32", "bfloat16"),
         help="model compute dtype for TRAINING (losses/optimizer stay "
@@ -71,6 +79,21 @@ def main() -> None:
              "is the calibrated default; bfloat16 is the training-"
              "throughput lever measured in NOTES_r5 (speed + quality "
              "control at the same operating point)")
+    parser.add_argument(
+        "--checkpoint-dir", type=str, default="",
+        help="enable Orbax checkpointing/resume in this dir. Long-horizon "
+             "curve runs split into chunks (run chunk 1 with --steps N "
+             "--skip-eval, then chunk 2 with --steps 2N resuming here): "
+             "the axon client leaks host RAM across very long "
+             "single-process runs (the round-5 19 200-step attempt was "
+             "host-OOM-killed at step 8 600 with 71 GB RSS — NOTES_r5), "
+             "so bound each process. NOTE: a resumed chunk restarts the "
+             "shuffled epoch stream, so the data ORDER differs from a "
+             "straight-through run of the same total steps.")
+    parser.add_argument(
+        "--skip-eval", action="store_true",
+        help="train only (chunk 1 of a resumed pair) — no PRN train, no "
+             "eval")
     args = parser.parse_args()
 
     cfg = Config.fast()
@@ -89,24 +112,30 @@ def main() -> None:
             image_size=SIZE, batch_size=args.batch_size,
             num_steps=args.steps, warmup_steps=50, learning_rate=2e-3,
             log_interval_steps=50,
+            checkpoint_dir=args.checkpoint_dir or "/tmp/unused_ckpt",
+            save_interval_steps=max(args.steps // 4, 1),
         ),
     )
     # Crowded scenes: up to 8 persons (BASELINE.json config 4 regime).
     train_records = make_dataset(args.train_images, img_h=SIZE, img_w=SIZE,
-                                 min_persons=1, max_persons=8, seed=0)
+                                 min_persons=1, max_persons=8, seed=0,
+                                 style=args.style)
     eval_records = make_dataset(args.eval_images, img_h=SIZE, img_w=SIZE,
-                               min_persons=2, max_persons=8, seed=999)
+                               min_persons=2, max_persons=8, seed=999,
+                               style=args.style)
 
     t0 = time.time()
     state = train(
         cfg,
         batch_iterator(train_records, cfg.train.batch_size, SIZE,
                        cfg.prn.max_persons, train=True),
-        checkpoint=False,
+        checkpoint=bool(args.checkpoint_dir),
         log_fn=lambda m: print(json.dumps(m), flush=True),
     )
     print(f"# trained {args.steps} steps in {time.time() - t0:.0f}s",
           flush=True)
+    if args.skip_eval:
+        return
 
     prn_state = prn_train.train_prn(
         cfg,
